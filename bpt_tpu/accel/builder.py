@@ -1,0 +1,108 @@
+"""Host-side binary BVH builder (numpy).
+
+Same algorithm family and flat layout as the reference's
+/root/reference/js/BVH_Fast_Builder.js (itself ported from a C++ CUDA
+renderer): top-down builds over triangle AABBs, split plane at the spatial
+median of the ranked longest axis, with two fallbacks —
+try the next-best axis when a split leaves one side empty (:125-237), and
+finally alternate even/odd assignment (:279-319).  Leaves hold exactly one
+triangle (:54-74).
+
+Flat-array invariants (BVH_Fast_Builder.js:389-404), which the traversal
+kernel depends on:
+  * a node's LEFT child is implicit: node i's left child is node i + 1
+    (pre-order, left-first emission);
+  * the RIGHT child id is stored in the node;
+  * `tri` >= 0 marks a leaf holding that triangle id, -1 an inner node.
+
+Unlike the reference (one JS object per node, recursive create), this
+builder is array-based: each emitted node is a row in preallocated numpy
+output arrays, and partitions are index-array median splits
+(`np.argpartition`, O(n) per level) — the same tree, built ~vectorized.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class BuiltBVH(NamedTuple):
+    node_tri: np.ndarray  # (M,) int32; triangle id for leaves, -1 inner
+    node_right: np.ndarray  # (M,) int32; right-child node id (inner only)
+    node_min: np.ndarray  # (M, 3) float32
+    node_max: np.ndarray  # (M, 3) float32
+    max_depth: int  # deepest node (root = 0); must fit the traversal stack
+
+
+def triangle_aabbs(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray, pad: float = 0.0):
+    """Per-triangle AABBs + centroids from vertex arrays (T, 3)."""
+    mn = np.minimum(np.minimum(p0, p1), p2) - pad
+    mx = np.maximum(np.maximum(p0, p1), p2) + pad
+    centroid = (mn + mx) * 0.5
+    return mn.astype(np.float32), mx.astype(np.float32), centroid.astype(np.float32)
+
+
+def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray) -> BuiltBVH:
+    """Build the flat BVH over T triangle AABBs; returns 2T-1 nodes."""
+    t_count = aabb_min.shape[0]
+    assert t_count >= 1
+    centroid = (aabb_min + aabb_max) * 0.5
+    n_nodes = 2 * t_count - 1
+    node_tri = np.full(n_nodes, -1, np.int32)
+    node_right = np.full(n_nodes, -1, np.int32)
+    node_min = np.zeros((n_nodes, 3), np.float32)
+    node_max = np.zeros((n_nodes, 3), np.float32)
+
+    next_id = 0
+    max_depth = 0
+    # Explicit stack of (triangle-index-array, parent_node_id, depth).
+    # Pre-order left-first emission gives the left-child = parent+1 invariant;
+    # when the right branch is emitted its id is patched into the parent.
+    stack = [(np.arange(t_count, dtype=np.int64), -1, True, 0)]
+    while stack:
+        ids, parent, is_left, depth = stack.pop()
+        my_id = next_id
+        next_id += 1
+        max_depth = max(max_depth, depth)
+        if parent >= 0 and not is_left:
+            node_right[parent] = my_id
+
+        mn = aabb_min[ids].min(axis=0)
+        mx = aabb_max[ids].max(axis=0)
+        node_min[my_id] = mn
+        node_max[my_id] = mx
+
+        if ids.shape[0] == 1:
+            node_tri[my_id] = ids[0]
+            continue
+
+        c = centroid[ids]
+        extent = mx - mn
+        # Ranked axes, longest first (the reference's best→good→okay ladder,
+        # BVH_Fast_Builder.js:95-237).
+        order = np.argsort(-extent)
+        left_sel = None
+        for axis in order:
+            split = 0.5 * (mn[axis] + mx[axis])
+            sel = c[:, axis] < split
+            n_left = int(sel.sum())
+            if 0 < n_left < ids.shape[0]:
+                left_sel = sel
+                break
+        if left_sel is None:
+            # All centroids coincide on every axis: alternate even/odd
+            # assignment (:279-319).
+            left_sel = np.zeros(ids.shape[0], bool)
+            left_sel[::2] = True
+
+        left_ids = ids[left_sel]
+        right_ids = ids[~left_sel]
+        # Push right first so the left branch is emitted (DFS) immediately
+        # after this node.
+        stack.append((right_ids, my_id, False, depth + 1))
+        stack.append((left_ids, my_id, True, depth + 1))
+
+    assert next_id == n_nodes
+    return BuiltBVH(node_tri, node_right, node_min, node_max, max_depth)

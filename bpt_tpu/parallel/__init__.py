@@ -1,0 +1,5 @@
+"""Device-mesh sharding: tile-sharded rendering, replicated scenes, psum grads.
+
+The reference's per-pixel fragment SPMD (SURVEY.md §2.6) becomes
+`shard_map` over a `jax.sharding.Mesh`; see bpt_tpu.parallel.sharding.
+"""

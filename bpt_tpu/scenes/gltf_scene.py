@@ -1,0 +1,147 @@
+"""glTF-model demo scenes (Cornell box + BVH mesh; HDRI variant).
+
+Builders for the two mesh demos:
+
+* `gltf_scene` — Cornell box with selectable quad light, two instanced
+  spheres, and a BVH-accelerated glTF model
+  (/root/reference/js/GLTFModelPathTracing_FragmentShader.js:612-643 and the
+  host pipeline /root/reference/js/GLTF_Model_Path_Tracing.js:201-497).
+* `hdri_scene` — open box (no ceiling / no quad light), two spheres, mesh,
+  equirect HDR environment with brightest-texel sun estimation
+  (/root/reference/js/HDRIEnvironmentPathTracing_FragmentShader.js:641-658,
+  /root/reference/js/HDRI_Environment_Path_Tracing.js:764-827).
+
+The reference's per-model presets (GLTF_Model_Path_Tracing.js:892-925):
+UtahTeapot ×130, StanfordBunny ×0.05, StanfordDragon ×250, Duck ×10 (LH),
+DamagedHelmet ×15 — pass those as `initial_scale` to `bpt_tpu.io.load_gltf`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from bpt_tpu.accel.builder import build_bvh, triangle_aabbs
+from bpt_tpu.camera import Camera
+from bpt_tpu.env import sun_direction_from_hdr
+from bpt_tpu.io.gltf import GLTFModel
+from bpt_tpu.scenes.cornell import cornell_walls_rows, quad_light_rows
+from bpt_tpu.scenes.types import (
+    CLEARCOAT_DIFFUSE,
+    DIFFUSE,
+    METAL,
+    Environment,
+    Scene,
+    TriangleMesh,
+    UnitSpheres,
+    make_quad,
+    quads_from_rows,
+)
+from bpt_tpu.utils.transforms import invert_rigid, trs_matrix
+
+WALL_RADIUS = 50.0
+SPHERE_RADIUS = 16.0
+
+
+def mesh_from_model(
+    model: GLTFModel,
+    mat_type: int = METAL,
+    translation=(0.0, 0.0, 0.0),
+    rotation=(0.0, 0.0, 0.0),
+    scale=(1.0, 1.0, 1.0),
+) -> TriangleMesh:
+    """glTF soup → device TriangleMesh with a freshly built BVH.
+
+    The transform is the runtime model TransformNode (uGLTF_Model_InvMatrix,
+    GLTF_Model_Path_Tracing.js:1216-1217) — the *initial* scale is already
+    baked into the vertices by load_gltf, as in the reference's packing.
+    """
+    mn, mx, _ = triangle_aabbs(model.p0, model.p1, model.p2)
+    bvh = build_bvh(mn, mx)
+    m = trs_matrix(translation=translation, rotation=rotation, scale=scale)
+
+    def dev(a):
+        return None if a is None else jnp.asarray(a)
+
+    return TriangleMesh(
+        p0=jnp.asarray(model.p0),
+        p1=jnp.asarray(model.p1),
+        p2=jnp.asarray(model.p2),
+        n0=jnp.asarray(model.n0),
+        n1=jnp.asarray(model.n1),
+        n2=jnp.asarray(model.n2),
+        uv0=jnp.asarray(model.uv0),
+        uv1=jnp.asarray(model.uv1),
+        uv2=jnp.asarray(model.uv2),
+        node_tri=jnp.asarray(bvh.node_tri),
+        node_right=jnp.asarray(bvh.node_right),
+        node_min=jnp.asarray(bvh.node_min),
+        node_max=jnp.asarray(bvh.node_max),
+        inv_matrix=invert_rigid(m),
+        mat_type=jnp.asarray(mat_type, jnp.int32),
+        albedo=dev(model.albedo),
+        normal_map=dev(model.normal_map),
+        metallic_roughness=dev(model.metallic_roughness),
+        emissive=dev(model.emissive),
+    )
+
+
+def _demo_spheres() -> UnitSpheres:
+    w, sr = WALL_RADIUS, SPHERE_RADIUS
+    left_m = trs_matrix(translation=(-w * 0.45, -w + sr + 0.1, -w * 0.2), scale=(sr, sr, sr))
+    right_m = trs_matrix(translation=(w * 0.45, -w + sr + 0.1, -w * 0.2), scale=(sr, sr, sr))
+    return UnitSpheres(
+        inv_matrix=jnp.stack([invert_rigid(left_m), invert_rigid(right_m)]),
+        color=jnp.asarray(np.array([[1.0, 1.0, 0.0], [1.0, 1.0, 1.0]], np.float32)),
+        mat_type=jnp.asarray(np.array([CLEARCOAT_DIFFUSE, METAL], np.int32)),
+    )
+
+
+def gltf_scene(
+    mesh: TriangleMesh, quad_light_plane: int = 6, quad_light_radius: float = 50.0
+) -> Scene:
+    """Cornell box + quad light + 2 spheres + BVH mesh (glTF demo)."""
+    rows = cornell_walls_rows()
+    rows.append(quad_light_rows(quad_light_plane, quad_light_radius))
+    return Scene(quads=quads_from_rows(rows), spheres=_demo_spheres(), mesh=mesh)
+
+
+def hdri_scene(
+    mesh: TriangleMesh,
+    hdr_image: np.ndarray,
+    hdr_exposure: float = 1.0,
+    sun_power: float = 4.0,
+    sun_direction: Optional[np.ndarray] = None,
+) -> Scene:
+    """Open box + 2 spheres + mesh + equirect environment (HDRI demo).
+
+    sun_direction defaults to the brightest-texel estimate, like loadHDR.
+    """
+    w = WALL_RADIUS
+    rows = [
+        make_quad((0, 0, 1), (-w, w, w), (w, w, w), (w, -w, w), (-w, -w, w), (1, 1, 1), DIFFUSE),
+        make_quad((1, 0, 0), (-w, -w, w), (-w, -w, -w), (-w, w, -w), (-w, w, w), (0.7, 0.05, 0.05), DIFFUSE),
+        make_quad((-1, 0, 0), (w, -w, -w), (w, -w, w), (w, w, w), (w, w, -w), (0.05, 0.05, 0.7), DIFFUSE),
+        make_quad((0, 1, 0), (-w, -w, w), (w, -w, w), (w, -w, -w), (-w, -w, -w), (1, 1, 1), DIFFUSE),
+    ]
+    if sun_direction is None:
+        sun_direction = sun_direction_from_hdr(hdr_image)
+    env = Environment(
+        sun_direction=jnp.asarray(sun_direction, jnp.float32),
+        sun_power=jnp.asarray(sun_power, jnp.float32),
+        hdr_image=jnp.asarray(hdr_image, jnp.float32),
+        hdr_exposure=jnp.asarray(hdr_exposure, jnp.float32),
+    )
+    return Scene(quads=quads_from_rows(rows), spheres=_demo_spheres(), mesh=mesh, env=env)
+
+
+def gltf_camera() -> Camera:
+    """glTF demo start camera (GLTF_Model_Path_Tracing.js:709)."""
+    return Camera.look(position=(0.0, -20.0, -120.0), fov=0.8, focus_distance=113.0)
+
+
+def hdri_camera() -> Camera:
+    """HDRI demo start camera (HDRI_Environment_Path_Tracing.js:724)."""
+    return Camera.look(position=(0.0, 0.0, -200.0), fov=0.8, focus_distance=113.0)

@@ -1,0 +1,181 @@
+"""Core math / RNG / sampling / Fresnel unit tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bpt_tpu.core import (
+    calc_fresnel_reflectance,
+    cross,
+    dot,
+    face_forward,
+    normalize,
+    orthonormal_basis,
+    reflect,
+    refract,
+    rng_next,
+    rng_seed,
+    tent_filter,
+)
+from bpt_tpu.core.rng import BlueNoise, blue_noise_fetch, blue_noise_table, bn_next
+from bpt_tpu.core.sampling import (
+    random_cos_weighted_hemisphere,
+    random_direction_in_specular_lobe,
+    random_sphere_direction,
+)
+
+
+def test_reflect_refract_match_glsl_semantics():
+    n = jnp.array([0.0, 1.0, 0.0])
+    i = normalize(jnp.array([1.0, -1.0, 0.0]))
+    r = reflect(i, n)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(normalize(jnp.array([1.0, 1.0, 0.0]))), atol=1e-6)
+
+    # Straight-through refraction at normal incidence.
+    i2 = jnp.array([0.0, -1.0, 0.0])
+    t = refract(i2, n, 1.0 / 1.5)
+    np.testing.assert_allclose(np.asarray(t), [0.0, -1.0, 0.0], atol=1e-6)
+
+    # Total internal reflection returns the zero vector like GLSL.
+    i3 = normalize(jnp.array([1.0, -0.05, 0.0]))
+    t3 = refract(i3, n, 1.5)
+    np.testing.assert_allclose(np.asarray(t3), [0.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_orthonormal_basis_is_orthonormal():
+    rng = np.random.default_rng(0)
+    w = normalize(jnp.asarray(rng.normal(size=(64, 3)), jnp.float32))
+    u, v = orthonormal_basis(w)
+    np.testing.assert_allclose(np.asarray(dot(u, v)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dot(u, w)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dot(v, w)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dot(u, u)), 1.0, atol=1e-4)
+    # Right-handedness: cross(w, u) == v per the reference's construction.
+    np.testing.assert_allclose(np.asarray(cross(w, u)), np.asarray(v), atol=1e-5)
+
+
+def test_face_forward():
+    n = jnp.array([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]])
+    rd = jnp.array([[0.0, -1.0, 0.0], [0.0, 1.0, 0.0]])
+    nl = face_forward(n, rd)
+    np.testing.assert_allclose(np.asarray(nl), [[0, 1, 0], [0, -1, 0]], atol=0)
+
+
+def test_rng_matches_scalar_reference():
+    """Cross-check the vectorized uint32 hash against a pure-python uint32 model."""
+
+    def scalar_stream(frame, px, py, n_draws):
+        mask = 0xFFFFFFFF
+        sx = (frame * px) & mask
+        sy = ((frame + 1) * py) & mask
+        out = []
+        for _ in range(n_draws):
+            sx = (sx + 1) & mask
+            sy = (sy + 1) & mask
+            qx = (1103515245 * ((sx >> 1) ^ sy)) & mask
+            qy = (1103515245 * ((sy >> 1) ^ sx)) & mask
+            n = (1103515245 * (qx ^ (qy >> 3))) & mask
+            out.append(n / 4294967295.0)
+        return out
+
+    st = rng_seed(7, jnp.array([3, 100]), jnp.array([5, 200]))
+    draws = []
+    for _ in range(8):
+        v, st = rng_next(st)
+        draws.append(np.asarray(v))
+    got = np.stack(draws)  # (8, 2)
+    want0 = scalar_stream(7, 3, 5, 8)
+    want1 = scalar_stream(7, 100, 200, 8)
+    np.testing.assert_allclose(got[:, 0], want0, rtol=1e-6)
+    np.testing.assert_allclose(got[:, 1], want1, rtol=1e-6)
+
+
+def test_rng_uniformity():
+    st = rng_seed(3, jnp.arange(4096) % 64, jnp.arange(4096) // 64)
+    vals = []
+    for _ in range(16):
+        v, st = rng_next(st)
+        vals.append(np.asarray(v))
+    flat = np.concatenate(vals)
+    assert 0.0 <= flat.min() and flat.max() <= 1.0
+    assert abs(flat.mean() - 0.5) < 0.01
+    assert abs(flat.var() - 1.0 / 12.0) < 0.01
+
+
+def test_blue_noise_alternates_channels():
+    table = jnp.asarray(blue_noise_table())
+    bn = blue_noise_fetch(table, jnp.array([10]), jnp.array([20]), jnp.array([0.0, 0.0]))
+    v0, bn = bn_next(bn)
+    v1, bn = bn_next(bn)
+    v2, bn = bn_next(bn)
+    v3, bn = bn_next(bn)
+    v4, bn = bn_next(bn)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(bn.r))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(bn.g))
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(bn.b))
+    np.testing.assert_allclose(np.asarray(v3), np.asarray(bn.a))
+    np.testing.assert_allclose(np.asarray(v4), np.asarray(bn.r))
+    # Fetch offset wraps modulo table size.
+    bn_wrapped = blue_noise_fetch(table, jnp.array([10 + 256]), jnp.array([20]), jnp.array([0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(bn_wrapped.r), np.asarray(bn.r))
+
+
+def test_cosine_hemisphere_distribution():
+    st = rng_seed(11, jnp.arange(8192) % 128, jnp.arange(8192) // 128)
+    nl = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (8192, 3))
+    d, st = random_cos_weighted_hemisphere(nl, st)
+    d = np.asarray(d)
+    assert (d[:, 2] > -1e-6).all()
+    # E[cos theta] = 2/3 for cosine-weighted hemisphere.
+    assert abs(d[:, 2].mean() - 2.0 / 3.0) < 0.02
+
+
+def test_sphere_direction_is_unit():
+    st = rng_seed(1, jnp.arange(512), jnp.arange(512))
+    d, _ = random_sphere_direction(st)
+    np.testing.assert_allclose(np.asarray(dot(d, d)), 1.0, atol=1e-5)
+    assert abs(np.asarray(d).mean()) < 0.05
+
+
+def test_specular_lobe_roughness_limits():
+    st = rng_seed(2, jnp.arange(1024), jnp.arange(1024))
+    refl = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (1024, 3))
+    d0, _ = random_direction_in_specular_lobe(refl, 0.0, st)
+    # roughness 0 -> exact mirror direction.
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(refl), atol=1e-6)
+    d1, _ = random_direction_in_specular_lobe(refl, 1.0, st)
+    # roughness 1 -> broad lobe, but still unit and mostly forward.
+    np.testing.assert_allclose(np.asarray(dot(d1, d1)), 1.0, atol=1e-5)
+    assert np.asarray(dot(d1, refl)).mean() < 0.999
+
+
+def test_tent_filter_range_and_symmetry():
+    x = jnp.linspace(0.0, 1.0, 101)
+    y = np.asarray(tent_filter(x))
+    assert y.min() >= -1.0 and y.max() <= 1.0
+    np.testing.assert_allclose(y[0], -1.0, atol=1e-6)
+    np.testing.assert_allclose(y[50], 0.0, atol=1e-3)
+    np.testing.assert_allclose(y, -y[::-1], atol=1e-5)
+
+
+def test_fresnel_normal_incidence_and_tir():
+    n = jnp.array([0.0, 1.0, 0.0])
+    rd = jnp.array([0.0, -1.0, 0.0])
+    re, ratio = calc_fresnel_reflectance(rd, n, 1.0, 1.5)
+    # R0 = ((n1-n2)/(n1+n2))^2 = 0.04 for glass.
+    np.testing.assert_allclose(np.asarray(re), 0.04, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ratio), 1.0 / 1.5, atol=1e-6)
+
+    # From inside, past the critical angle: TIR -> Re == 1.
+    rd_in = normalize(jnp.array([1.0, 0.2, 0.0]))  # exiting: dot(rd, n) > 0
+    re_tir, _ = calc_fresnel_reflectance(rd_in, n, 1.0, 1.5)
+    np.testing.assert_allclose(np.asarray(re_tir), 1.0, atol=0)
+
+
+def test_fresnel_energy_bounds():
+    rng = np.random.default_rng(3)
+    n = jnp.array([0.0, 1.0, 0.0])
+    rd = normalize(jnp.asarray(rng.normal(size=(256, 3)), jnp.float32))
+    re, _ = calc_fresnel_reflectance(rd, n, 1.0, 1.5)
+    re = np.asarray(re)
+    assert (re >= 0.0).all() and (re <= 1.0).all()
