@@ -1,0 +1,94 @@
+"""Benchmark: rays/s for fwd+bwd progressive rendering on the Cornell scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+K progressive frames run inside ONE dispatch (lax.scan) — the real workload
+shape, and it amortizes the multi-second per-dispatch latency of the
+tunneled dev TPU.  The backward pass differentiates the K-frame scan w.r.t.
+the light emission (inverse-rendering shape).
+
+Accounting: rays = H * W * bounces * K — one SceneIntersect wavefront per
+pixel per bounce per frame (NEE shadow rays ride the same wavefront; the
+backward sweep is NOT counted extra, so the number is conservative for a
+fwd+bwd step).  Baseline: the driver's north-star target of 1e9 rays/s
+aggregate on a v5p-16 (BASELINE.md) = 62.5e6 rays/s per chip; vs_baseline
+compares measured per-chip rays/s against that per-chip target.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--bounces", type=int, default=4)
+    p.add_argument("--frames", type=int, default=8, help="frames fused per dispatch")
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--forward-only", action="store_true")
+    args = p.parse_args()
+
+    from bpt_tpu.core.rng import blue_noise_table
+    from bpt_tpu.integrator import IntegratorConfig
+    from bpt_tpu.integrator.frame import render_frame
+    from bpt_tpu.scenes.cornell import cornell_camera, cornell_scene
+
+    cfg = IntegratorConfig(bounces=args.bounces)
+    scene = cornell_scene()
+    camera = cornell_camera()
+    h = w = args.size
+    k = args.frames
+    prev0 = jnp.zeros((h, w, 4), jnp.float32)
+    blue_noise = jnp.asarray(blue_noise_table())
+    rand_vec2 = jnp.asarray([0.3, 0.7], jnp.float32)
+
+    def k_frames(light_color, frame0):
+        quads = scene.quads._replace(color=scene.quads.color.at[5].set(light_color))
+        s = scene._replace(quads=quads)
+
+        def body(prev, fc):
+            return render_frame(s, camera, cfg, prev, fc, False, rand_vec2, blue_noise), None
+
+        out, _ = jax.lax.scan(body, prev0, frame0 + jnp.arange(0.0, k))
+        return jnp.mean(out[..., :3]), out
+
+    if args.forward_only:
+        step = jax.jit(lambda lc, f0: k_frames(lc, f0)[1])
+    else:
+        def fwd_bwd(lc, f0):
+            (loss, out), grad = jax.value_and_grad(k_frames, has_aux=True)(lc, f0)
+            return out, grad
+
+        step = jax.jit(fwd_bwd)
+
+    lc = jnp.asarray([10.0, 10.0, 10.0])
+    # warmup / compile
+    jax.block_until_ready(step(lc, 2.0))
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        out = step(lc, jnp.asarray(2.0 + i * k, jnp.float32))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    rays = h * w * args.bounces * k
+    rays_per_s = rays / dt
+    per_chip_target = 1e9 / 16.0  # v5p-16 north star, per chip
+    print(
+        json.dumps(
+            {
+                "metric": f"rays/s/chip {'fwd' if args.forward_only else 'fwd+bwd'} "
+                f"{h}x{w} {args.bounces} bounces (cornell)",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / per_chip_target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -83,9 +83,19 @@ def trace_image(
     frame_counter,
     rand_vec2,
     blue_noise: jnp.ndarray,
+    tile_rows: int | None = None,
+    row_offset=0,
 ) -> RadianceResult:
-    """Trace one 1-sample-per-pixel frame; returns the raw per-pixel result."""
-    px, py = pixel_grid(height, width)
+    """Trace one 1-sample-per-pixel frame; returns the raw per-pixel result.
+
+    `width`/`height` are the FULL image dimensions (they define the camera
+    film plane).  When tile-sharded, pass `tile_rows` (this shard's row
+    count) and `row_offset` (traced scalar: the shard's first absolute row):
+    RNG streams and ray directions stay keyed by absolute pixel coordinates,
+    so an N-way sharded render is bitwise-identical to the single-device one.
+    """
+    px, py = pixel_grid(tile_rows if tile_rows is not None else height, width)
+    py = py + row_offset
     rng = rng_seed(frame_counter, px, py)
     bn = blue_noise_fetch(blue_noise, px, py, rand_vec2)
     ro, rd, rng = generate_rays(camera, px, py, width, height, rng)

@@ -253,6 +253,20 @@ def load_gltf(path: str, initial_scale: float = 1.0, flip_z: bool = True) -> GLT
     nrm = nrm.reshape(-1, 3, 3)
     uv = uv.reshape(-1, 3, 2)
 
+    # Keep triangle winding consistent with the vertex normals: a mirror
+    # (the z-flip, or a negative-determinant node matrix) inverts
+    # cross(e1, e2) relative to the transformed normals, which would make
+    # single-sided backface culling keep the *inside* faces.  Swap v1/v2 on
+    # triangles whose geometric normal opposes their average vertex normal.
+    geo_n = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
+    avg_n = nrm.sum(axis=1)
+    flip_tris = (geo_n * avg_n).sum(-1) < 0.0
+    has_normals = np.linalg.norm(avg_n, axis=-1) > 1e-12
+    flip_tris = flip_tris & has_normals
+    pos[flip_tris] = pos[flip_tris][:, [0, 2, 1]]
+    nrm[flip_tris] = nrm[flip_tris][:, [0, 2, 1]]
+    uv[flip_tris] = uv[flip_tris][:, [0, 2, 1]]
+
     # Fill zero normals with face normals (models without NORMAL streams).
     face_n = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
     face_len = np.linalg.norm(face_n, axis=-1, keepdims=True)

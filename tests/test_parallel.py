@@ -1,0 +1,72 @@
+"""Sharded-rendering equivalence and gradient-psum tests on the virtual
+8-device CPU mesh — the Mesh(1) ⊆ Mesh(N) requirement from SURVEY.md §4."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bpt_tpu.core.rng import blue_noise_table
+from bpt_tpu.integrator import IntegratorConfig
+from bpt_tpu.integrator.frame import render_frame
+from bpt_tpu.parallel import make_mesh, sharded_render_frame
+from bpt_tpu.scenes.cornell import cornell_camera, cornell_scene
+
+# Small res / bounce count: XLA-CPU compile time of the unrolled bounce loop
+# dominates this test, and sharding correctness is independent of both.
+RES = 32
+BN = jnp.asarray(blue_noise_table())
+RV = jnp.asarray([0.3, 0.7], jnp.float32)
+CFG = IntegratorConfig(bounces=2)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+    return cornell_scene(), cornell_camera()
+
+
+def test_sharded_equals_single_device(setup):
+    scene, camera = setup
+    prev = jnp.zeros((RES, RES, 4), jnp.float32)
+    single = render_frame(scene, camera, CFG, prev, 2.0, False, RV, BN)
+    for n in (8,):
+        mesh = make_mesh(jax.devices()[:n])
+        # shard_map must run under jit — eager mode interprets op-by-op
+        step = jax.jit(
+            lambda sc, cam, pr, fc: sharded_render_frame(sc, cam, CFG, pr, fc, False, RV, BN, mesh)
+        )
+        sharded = step(scene, camera, prev, 2.0)
+        # same RNG draws, same branches — only compilation-fusion float noise
+        # (observed max ~3e-6) differs between the eager single-device run
+        # and the jitted SPMD program
+        np.testing.assert_allclose(
+            np.asarray(single), np.asarray(sharded), rtol=1e-4, atol=1e-5,
+            err_msg=f"Mesh({n}) must match the single-device render",
+        )
+
+
+def test_sharded_gradient_psum(setup):
+    """Gradients of a replicated scene parameter through the sharded render
+    must equal the single-device gradients (AD inserts the psum)."""
+    scene, camera = setup
+    prev = jnp.zeros((RES, RES, 4), jnp.float32)
+    mesh = make_mesh(jax.devices())
+
+    def loss_single(light_color):
+        s = scene._replace(quads=scene.quads._replace(
+            color=scene.quads.color.at[5].set(light_color)))
+        out = render_frame(s, camera, CFG, prev, 2.0, False, RV, BN)
+        return jnp.mean(out[..., :3])
+
+    def loss_sharded(light_color):
+        s = scene._replace(quads=scene.quads._replace(
+            color=scene.quads.color.at[5].set(light_color)))
+        out = sharded_render_frame(s, camera, CFG, prev, 2.0, False, RV, BN, mesh)
+        return jnp.mean(out[..., :3])
+
+    lc = jnp.asarray([10.0, 10.0, 10.0])
+    g1 = np.asarray(jax.jit(jax.grad(loss_single))(lc))
+    g8 = np.asarray(jax.jit(jax.grad(loss_sharded))(lc))
+    assert np.abs(g1).sum() > 0, "light emission must have nonzero gradient"
+    np.testing.assert_allclose(g8, g1, rtol=1e-5)
