@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from bpt_tpu.core.vecmath import INFINITY, cross, dot, normal_to_world, normalize, transform_dir, transform_point
+from bpt_tpu.core.vecmath import INFINITY, cross, dot, normal_to_world, normalize, safe_inv, transform_dir, transform_point
 from bpt_tpu.integrator.intersect import Hit, _merge
 from bpt_tpu.scenes.types import PBR_MATERIAL, TRANSPARENT, TriangleMesh
 
@@ -46,7 +46,7 @@ def _tri_t_uv(p0, p1, p2, ro, rd, cull_backface):
     edge2 = p2 - p0
     pvec = cross(rd, edge2)
     raw_det = dot(edge1, pvec)
-    inv_det = 1.0 / raw_det
+    inv_det = safe_inv(raw_det)
     tvec = ro - p0
     u = dot(tvec, pvec) * inv_det
     qvec = cross(tvec, edge1)
@@ -67,7 +67,7 @@ def traverse_bvh(
     triangle data are gathered per lane per step.
     """
     shape = ro.shape[:-1]
-    inv_dir = 1.0 / rd
+    inv_dir = safe_inv(rd)
 
     stack_node = jnp.zeros(shape + (stack_depth,), jnp.int32)
     stack_t = jnp.full(shape + (stack_depth,), INFINITY, ro.dtype)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from bpt_tpu.core.rng import RngState, rng_next
 from bpt_tpu.core.sampling import TWO_PI, tent_filter
-from bpt_tpu.core.vecmath import normalize
+from bpt_tpu.core.vecmath import normalize, safe_sqrt
 
 
 class Camera(NamedTuple):
@@ -116,7 +116,7 @@ def generate_rays(
     radius = rr * camera.aperture_size
     aperture_offset = (
         jnp.cos(angle)[..., None] * camera.right + jnp.sin(angle)[..., None] * camera.up
-    ) * jnp.sqrt(jnp.maximum(radius, 0.0))[..., None]
+    ) * safe_sqrt(radius)[..., None]
     focal_point = camera.focus_distance * ray_dir
     final_dir = normalize(focal_point - aperture_offset)
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from bpt_tpu.core.vecmath import dot
+from bpt_tpu.core.vecmath import dot, safe_sqrt
 
 
 def calc_fresnel_reflectance(ray_dir, n, etai, etat) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -22,9 +22,9 @@ def calc_fresnel_reflectance(ray_dir, n, etai, etat) -> tuple[jnp.ndarray, jnp.n
     ei = jnp.where(inside, etat, etai)
     et = jnp.where(inside, etai, etat)
     ratio_ior = ei / et
-    sint = ratio_ior * jnp.sqrt(jnp.maximum(1.0 - cosi * cosi, 0.0))
+    sint = ratio_ior * safe_sqrt(1.0 - cosi * cosi)
     tir = sint >= 1.0
-    cost = jnp.sqrt(jnp.maximum(1.0 - sint * sint, 0.0))
+    cost = safe_sqrt(1.0 - sint * sint)
     cosi_a = jnp.abs(cosi)
     rs = ((et * cosi_a) - (ei * cost)) / jnp.maximum((et * cosi_a) + (ei * cost), 1e-20)
     rp = ((ei * cosi_a) - (et * cost)) / jnp.maximum((ei * cosi_a) + (et * cost), 1e-20)

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from bpt_tpu.core.rng import RngState, rng_next
-from bpt_tpu.core.vecmath import mix, normalize, orthonormal_basis
+from bpt_tpu.core.vecmath import mix, normalize, orthonormal_basis, safe_sqrt
 
 TWO_PI = 6.28318530717958648
 
@@ -20,7 +20,7 @@ def random_sphere_direction(state: RngState) -> tuple[jnp.ndarray, RngState]:
     u, state = rng_next(state)
     a, state = rng_next(state)
     up = u * 2.0 - 1.0
-    over = jnp.sqrt(jnp.maximum(0.0, 1.0 - up * up))
+    over = safe_sqrt(1.0 - up * up)
     around = a * TWO_PI
     d = jnp.stack([jnp.cos(around) * over, up, jnp.sin(around) * over], axis=-1)
     return normalize(d), state
@@ -37,7 +37,7 @@ def cos_hemisphere_from_uniforms(nl: jnp.ndarray, r_, p_) -> jnp.ndarray:
     phi = p_ * TWO_PI
     x = r * jnp.cos(phi)
     y = r * jnp.sin(phi)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
+    z = safe_sqrt(1.0 - x * x - y * y)
     u, v = orthonormal_basis(nl)
     return normalize(x[..., None] * u + y[..., None] * v + z[..., None] * nl)
 
@@ -54,7 +54,7 @@ def specular_lobe_from_uniforms(reflection_dir: jnp.ndarray, roughness, c_, p_) 
     roughness = jnp.clip(jnp.asarray(roughness, jnp.float32), 0.0, 1.0)
     exponent = mix(7.0, 0.0, jnp.sqrt(roughness))
     cos_theta = jnp.power(c_, 1.0 / (jnp.exp(exponent) + 1.0))
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = safe_sqrt(1.0 - cos_theta * cos_theta)
     phi = p_ * TWO_PI
     u, v = orthonormal_basis(reflection_dir)
     lobe = (

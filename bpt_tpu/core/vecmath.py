@@ -26,6 +26,31 @@ def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, axis=-1)
 
 
+def safe_sqrt(x, floor: float = 1e-20) -> jnp.ndarray:
+    """sqrt clamped away from 0 with a *where* (not max) on the input.
+
+    d(sqrt)/dx -> inf at 0, and `jnp.where(mask, sqrt(max(x, 0)), y)` still
+    propagates NaN through the masked branch in reverse mode (inf * 0).  The
+    double-where keeps every masked-geometry gradient finite — load-bearing
+    for the inverse-rendering paths (camera fov/aperture, object transforms).
+    Value change is negligible: sqrt(1e-20) = 1e-10.
+    """
+    return jnp.sqrt(jnp.where(x > floor, x, floor))
+
+
+def safe_inv(x, floor: float = 1e-12) -> jnp.ndarray:
+    """1/x with the input clamped away from 0 (sign-preserving).
+
+    Rays parallel to an axis (rd component == 0) make slab/plane tests
+    divide by zero; the resulting inf is masked in the *values* but NaN-
+    poisons reverse-mode gradients through the mask (inf * 0).  Clamping
+    makes the masked lanes' t huge (≥ 1e12 ≫ INFINITY sentinel) so they
+    still miss, while keeping every gradient finite.
+    """
+    ax = jnp.abs(x)
+    return jnp.sign(jnp.where(x == 0.0, 1.0, x)) / jnp.where(ax > floor, ax, floor)
+
+
 def length(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(dot(v, v), 0.0))
 

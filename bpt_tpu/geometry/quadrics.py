@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from bpt_tpu.core.vecmath import INFINITY, dot
+from bpt_tpu.core.vecmath import INFINITY, dot, safe_inv, safe_sqrt
 
 
 def _miss_n(ro):
@@ -33,13 +33,13 @@ def solve_quadratic(a, b, c):
     and -B/2 are zeroed, so t0 = t1 = 0 (an automatic miss since hits require
     t > 0).
     """
-    inv_a = 1.0 / a
+    inv_a = safe_inv(a)
     b = b * inv_a
     c = c * inv_a
     neg_half_b = -b * 0.5
     u2 = neg_half_b * neg_half_b - c
     real = u2 >= 0.0
-    u = jnp.sqrt(jnp.maximum(u2, 0.0))
+    u = safe_sqrt(u2)
     neg_half_b = jnp.where(real, neg_half_b, 0.0)
     u = jnp.where(real, u, 0.0)
     return neg_half_b - u, neg_half_b + u
@@ -210,8 +210,8 @@ def unit_flattened_ring_intersect(ro, rd, k):
     t0, t1 = solve_quadratic(a, b, c_outer)
     c0, c1 = solve_quadratic(a, b, c_outer + 1.0 - k)  # inner radius^2 = k
 
-    d0 = (ro[..., 1] - 1.0) / -rd[..., 1]
-    d1 = (ro[..., 1] + 1.0) / -rd[..., 1]
+    d0 = -(ro[..., 1] - 1.0) * safe_inv(rd[..., 1])
+    d1 = -(ro[..., 1] + 1.0) * safe_inv(rd[..., 1])
 
     def disk_ok(d):
         hit = ro + rd * d[..., None]
@@ -245,7 +245,7 @@ def unit_flattened_ring_intersect(ro, rd, k):
 def unit_box_intersect(ro, rd):
     """Slab test on [-1,1]^3 with step-trick face normal
     (PathTracingCommon.js:981-1010)."""
-    inv = 1.0 / rd
+    inv = safe_inv(rd)
     near = (-1.0 - ro) * inv
     far = (1.0 - ro) * inv
     tmin = jnp.minimum(near, far)
@@ -324,7 +324,7 @@ def pyramid_frustum_intersect(ro, rd, k):
 def unit_disk_intersect(ro, rd):
     """y=0 disk, r<=1; caller supplies the normal
     (PathTracingCommon.js:1077-1086)."""
-    t0 = ro[..., 1] / -rd[..., 1]
+    t0 = -ro[..., 1] * safe_inv(rd[..., 1])
     hit = ro + rd * t0[..., None]
     ok = (t0 > 0.0) & (hit[..., 0] ** 2 + hit[..., 2] ** 2 <= 1.0)
     return jnp.where(ok, t0, INFINITY)
@@ -332,7 +332,7 @@ def unit_disk_intersect(ro, rd):
 
 def unit_rectangle_intersect(ro, rd):
     """y=0 rectangle, |x|,|z|<=1 (PathTracingCommon.js:1089-1098)."""
-    t0 = ro[..., 1] / -rd[..., 1]
+    t0 = -ro[..., 1] * safe_inv(rd[..., 1])
     hit = ro + rd * t0[..., None]
     ok = (t0 > 0.0) & (jnp.abs(hit[..., 0]) <= 1.0) & (jnp.abs(hit[..., 2]) <= 1.0)
     return jnp.where(ok, t0, INFINITY)
@@ -367,7 +367,7 @@ def unit_torus_intersect(ro, rd, k, max_steps: int = 500):
     )
 
     def disk(off):
-        d = (ro[..., 1] + off) / -rd[..., 1]
+        d = -(ro[..., 1] + off) * safe_inv(rd[..., 1])
         hit = ro + rd * d[..., None]
         ok = (d > 0.0) & (hit[..., 0] ** 2 + hit[..., 2] ** 2 <= 1.0)
         return jnp.where(ok, d, INFINITY)
@@ -376,13 +376,19 @@ def unit_torus_intersect(ro, rd, k, max_steps: int = 500):
     d1 = disk(-k)
     t_start = jnp.minimum(jnp.minimum(d0, d1), tc)
     bounded = t_start < INFINITY
+    # march start; unbounded lanes idle at 0 and freeze on the first step
+    t_march0 = jnp.where(bounded, t_start, 0.0)
 
     def march_body(_, carry):
         # GLSL: d = map(ro + rd*t); if |d| < 0.01 break; t += d.
         # The break-without-advance is preserved: once |d_new| < 0.01 the lane
         # freezes (t unchanged, d holds the converged value).
+        # Extra freeze vs the GLSL: lanes that leave the bounding volume
+        # (t - t_start > 8, longer than any chord of the unit torus) stop
+        # advancing — unbounded t doubles per step on miss lanes, overflows
+        # f32 and NaN-poisons reverse-mode gradients through the masks.
         t, d = carry
-        live = jnp.abs(d) >= 0.01
+        live = (jnp.abs(d) >= 0.01) & (t - t_march0 <= 8.0)
         d_new = _map_torus(ro + rd * t[..., None], k)
         t = jnp.where(live & (jnp.abs(d_new) >= 0.01), t + d_new, t)
         d = jnp.where(live, d_new, d)
@@ -390,7 +396,7 @@ def unit_torus_intersect(ro, rd, k, max_steps: int = 500):
 
     # Initial d large so the first iteration always evaluates.
     t_m, d_m = jax.lax.fori_loop(
-        0, max_steps, march_body, (jnp.where(bounded, t_start, 0.0), jnp.full_like(t_start, INFINITY))
+        0, max_steps, march_body, (t_march0, jnp.full_like(t_start, INFINITY))
     )
     converged = bounded & (jnp.abs(d_m) < 0.01)
     pos = ro + rd * t_m[..., None]

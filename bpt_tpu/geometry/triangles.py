@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from bpt_tpu.core.vecmath import INFINITY, cross, dot
+from bpt_tpu.core.vecmath import INFINITY, cross, dot, safe_inv
 
 
 def triangle_intersect(v0, v1, v2, ro, rd, double_sided: bool = False):
@@ -41,7 +41,7 @@ def _mt_core(v0, v1, v2, ro, rd, double_sided):
     edge2 = v2 - v0
     pvec = cross(rd, edge2)
     raw_det = dot(edge1, pvec)
-    det = 1.0 / raw_det  # GLSL computes the reciprocal unguarded; inf on degenerate
+    det = safe_inv(raw_det)  # GLSL computes this unguarded; clamped for finite grads
     tvec = ro - v0
     u = dot(tvec, pvec) * det
     qvec = cross(tvec, edge1)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from bpt_tpu.core.rng import RngState, rng_next
 from bpt_tpu.core.sampling import TWO_PI, random_direction_in_specular_lobe
-from bpt_tpu.core.vecmath import dot, length, mix, normalize, orthonormal_basis
+from bpt_tpu.core.vecmath import dot, length, mix, normalize, orthonormal_basis, safe_sqrt
 
 
 def quad_light_from_uniforms(x, nl, light_v0, light_v1, light_v2, light_v3, light_normal, rx, ry, rz):
@@ -33,7 +33,7 @@ def quad_light_from_uniforms(x, nl, light_v0, light_v1, light_v2, light_v3, ligh
     dir_to_light = rand_point - x
     r2 = length(light_v1 - light_v0) * length(light_v3 - light_v0)
     d2 = dot(dir_to_light, dir_to_light)
-    cos_a_max = jnp.sqrt(jnp.maximum(1.0 - jnp.clip(r2 / jnp.maximum(d2, 1e-20), 0.0, 1.0), 0.0))
+    cos_a_max = safe_sqrt(1.0 - jnp.clip(r2 / jnp.maximum(d2, 1e-20), 0.0, 1.0))
     dir_to_light = normalize(dir_to_light)
     dot_nl = jnp.maximum(0.0, dot(nl, dir_to_light))
     weight = 2.0 * (1.0 - cos_a_max) * jnp.maximum(0.0, -dot(dir_to_light, light_normal)) * dot_nl
@@ -67,7 +67,7 @@ def sample_sphere_light(x, nl, light_pos, light_radius, rng: RngState):
     rc, rng = rng_next(rng)
     rp, rng = rng_next(rng)
     cos_alpha = mix(cos_alpha_max, 1.0, rc)
-    sin_alpha = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_alpha * cos_alpha)) * 0.75
+    sin_alpha = safe_sqrt(1.0 - cos_alpha * cos_alpha) * 0.75
     phi = rp * TWO_PI
     dir_to_light = normalize(to_light)
     u, v = orthonormal_basis(dir_to_light)

