@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,13 +61,23 @@ def rng_seed(frame_counter, px, py) -> RngState:
 
 
 def rng_next(state: RngState) -> tuple[jnp.ndarray, RngState]:
-    """One draw of iq's hash (PathTracingCommon.js:502-508). Returns ([0,1], state)."""
+    """One draw of iq's hash (PathTracingCommon.js:502-508). Returns ([0,1), state).
+
+    Float construction: mantissa bit-trick `bitcast((n >> 9) | 0x3F800000) - 1`
+    instead of the GLSL's `float(n) / float(0xffffffffU)` — Mosaic (Pallas
+    TPU) has no uint32→f32 convert, and the bitcast is exact and cheaper.
+    Keeps the top 23 bits of the hash; marginal distribution is uniform
+    [0, 1).  The jnp path uses the SAME construction so Pallas kernels and
+    the reference integrator consume identical draws.
+    """
     sx = state.sx + jnp.uint32(1)
     sy = state.sy + jnp.uint32(1)
     qx = _MAGIC * ((sx >> 1) ^ sy)
     qy = _MAGIC * ((sy >> 1) ^ sx)
     n = _MAGIC * (qx ^ (qy >> 3))
-    return n.astype(jnp.float32) * jnp.float32(_INV_U32_MAX), RngState(sx, sy)
+    bits = (n >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+    value = jax.lax.bitcast_convert_type(bits, jnp.float32) - 1.0
+    return value, RngState(sx, sy)
 
 
 def rng_next2(state: RngState) -> tuple[jnp.ndarray, jnp.ndarray, RngState]:

@@ -1,0 +1,654 @@
+"""Fused Pallas ray-tile megakernel for the Cornell-family scene
+(quads + matrix-instanced unit spheres, quad-light NEE, env "none").
+
+This is the TPU-native analog of the reference's compiled fragment shader
+(BabylonPathTracing_FragmentShader.js + pathtracing_default_main): one
+kernel program per row-tile computes ray-gen → N-bounce radiance → first-hit
+records, holding ALL per-path state (ray, mask, accumulated color, flags) in
+VMEM/registers for the whole bounce loop — no HBM round-trips between
+bounces, which is what the unfused XLA graph pays for.
+
+Layout: everything is component-form SoA — a 3-vector is three (TILE_ROWS, W)
+planes — so the lane dimension is the image width (multiple of 128) and the
+VPU sees full tiles.  Small scene constants (quad vertices, sphere inverse
+matrices, camera) live in SMEM and are read as scalars.
+
+RNG parity: the kernel consumes exactly the same fixed draw schedule as
+bpt_tpu.integrator.radiance (4 ray-gen draws, then per bounce: blue-noise
+gates ch (2b)%4,(2b+1)%4, hemisphere 2, quad-light 3), with the same
+uint32 hash and mantissa-bitcast float construction — outputs match the jnp
+reference to float tolerance (see tests/test_kernels.py).
+
+Differentiation: `render_tile_radiance` is wrapped in a custom_vjp whose
+backward runs the VJP of the jnp integrator on the same inputs (identical
+draws ⇒ identical program), so the fast forward stays differentiable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bpt_tpu.integrator.config import IntegratorConfig
+from bpt_tpu.scenes.types import (
+    CLEARCOAT_DIFFUSE,
+    DIFFUSE,
+    LIGHT,
+    METAL,
+    TRANSPARENT,
+    Scene,
+)
+
+INFINITY = 1.0e6
+TWO_PI = 6.28318530717958648
+
+
+# ---------------------------------------------------------------------------
+# component-form vector helpers ((TH, W) planes)
+# ---------------------------------------------------------------------------
+
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _cross(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+
+def _rsqrt_safe(x):
+    return jax.lax.rsqrt(jnp.maximum(x, 1e-20))
+
+
+def _normalize(x, y, z):
+    inv = _rsqrt_safe(_dot(x, y, z, x, y, z))
+    return x * inv, y * inv, z * inv
+
+
+def _safe_sqrt(x):
+    return jnp.sqrt(jnp.where(x > 1e-20, x, 1e-20))
+
+
+def _safe_inv(x):
+    ax = jnp.abs(x)
+    return jnp.sign(jnp.where(x == 0.0, 1.0, x)) / jnp.where(ax > 1e-12, ax, 1e-12)
+
+
+def _reflect(ix, iy, iz, nx, ny, nz):
+    d = 2.0 * _dot(nx, ny, nz, ix, iy, iz)
+    return ix - d * nx, iy - d * ny, iz - d * nz
+
+
+def _rng_next(sx, sy):
+    """One hash draw; returns (value in [0,1), sx, sy). Matches core.rng.
+
+    Python int literals (not jnp scalars) so the traced kernel has no
+    captured array constants, which pallas_call rejects.
+    """
+    sx = sx + 1
+    sy = sy + 1
+    qx = ((sx >> 1) ^ sy) * 1103515245
+    qy = ((sy >> 1) ^ sx) * 1103515245
+    n = (qx ^ (qy >> 3)) * 1103515245
+    bits = (n >> 9) | 0x3F800000
+    return pltpu.bitcast(bits, jnp.float32) - 1.0, sx, sy
+
+
+def _tent(x):
+    return jnp.where(
+        x < 0.5, _safe_sqrt(2.0 * x) - 1.0, 1.0 - _safe_sqrt(2.0 - 2.0 * x)
+    )
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows: int, width: int, height: int):
+    eps = cfg.eps_intersect
+    light_i = cfg.light_index if cfg.light_index >= 0 else n_quads - 1
+
+    def kernel(
+        cam_ref,      # (16,) SMEM: pos3 right3 up3 fwd3 ulen vlen aperture focus
+        scalars_ref,  # (2,) SMEM: frame_counter, camera_is_moving (0/1)
+        quads_ref,    # (n_quads, 20) SMEM: n3 v0..v3(12) color3 mat pad
+        sph_ref,      # (n_spheres, 21) SMEM: inv 4x4 row-major (16) color3 mat pad
+        bn_ref,       # (4, TH, W) VMEM: blue-noise channels
+        col_r, col_g, col_b, onx, ony, onz, ocr, ocg, ocb, oid, osh,  # outputs (TH, W)
+    ):
+        f32 = jnp.float32
+        row0 = pl.program_id(0) * tile_rows
+        py_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0) + row0
+        px_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
+
+        frame = scalars_ref[0]
+        moving = scalars_ref[1] > 0.5
+
+        # --- RNG seeds (absolute pixel coords) ---------------------------
+        fu = frame.astype(jnp.int32).astype(jnp.uint32)
+        sx = fu * px_i.astype(jnp.uint32)
+        sy = (fu + 1) * py_i.astype(jnp.uint32)
+
+        # --- ray-gen: tent AA + thin-lens DoF (4 draws) ------------------
+        tx, sx, sy = _rng_next(sx, sy)
+        ty, sx, sy = _rng_next(sx, sy)
+        ox = _tent(tx)
+        oy = _tent(ty)
+        ndc_x = ((px_i.astype(f32) + 0.5 + ox) / width) * 2.0 - 1.0
+        ndc_y = ((py_i.astype(f32) + 0.5 + oy) / height) * 2.0 - 1.0
+        ulen = cam_ref[12]
+        vlen = cam_ref[13]
+        rdx = ndc_x * cam_ref[3] * ulen + ndc_y * cam_ref[6] * vlen + cam_ref[9]
+        rdy = ndc_x * cam_ref[4] * ulen + ndc_y * cam_ref[7] * vlen + cam_ref[10]
+        rdz = ndc_x * cam_ref[5] * ulen + ndc_y * cam_ref[8] * vlen + cam_ref[11]
+        rdx, rdy, rdz = _normalize(rdx, rdy, rdz)
+        ra, sx, sy = _rng_next(sx, sy)
+        rr, sx, sy = _rng_next(sx, sy)
+        angle = ra * TWO_PI
+        radius = rr * cam_ref[14]
+        sr = _safe_sqrt(radius)
+        apx = (jnp.cos(angle) * cam_ref[3] + jnp.sin(angle) * cam_ref[6]) * sr
+        apy = (jnp.cos(angle) * cam_ref[4] + jnp.sin(angle) * cam_ref[7]) * sr
+        apz = (jnp.cos(angle) * cam_ref[5] + jnp.sin(angle) * cam_ref[8]) * sr
+        focus = cam_ref[15]
+        rdx, rdy, rdz = _normalize(focus * rdx - apx, focus * rdy - apy, focus * rdz - apz)
+        rox = cam_ref[0] + apx
+        roy = cam_ref[1] + apy
+        roz = cam_ref[2] + apz
+
+        # --- per-path state ----------------------------------------------
+        zeros = jnp.zeros((tile_rows, width), f32)
+        ones = jnp.ones((tile_rows, width), f32)
+        acc_r = zeros
+        acc_g = zeros
+        acc_b = zeros
+        m_r = ones
+        m_g = ones
+        m_b = ones
+        alive = ones > 0.0
+        spec = ones > 0.0
+        samp_l = zeros > 1.0
+        coat = zeros > 1.0
+        d_cnt = jnp.zeros((tile_rows, width), jnp.int32)
+        sharp = zeros
+        obj_nx = zeros
+        obj_ny = zeros
+        obj_nz = zeros
+        obj_cr = zeros
+        obj_cg = zeros
+        obj_cb = zeros
+        obj_id = jnp.full((tile_rows, width), -INFINITY, f32)
+        prev_metal = zeros > 1.0
+
+        lv0x = quads_ref[light_i, 3]
+        lv0y = quads_ref[light_i, 4]
+        lv0z = quads_ref[light_i, 5]
+        lv2x = quads_ref[light_i, 9]
+        lv2y = quads_ref[light_i, 10]
+        lv2z = quads_ref[light_i, 11]
+        lv1x = quads_ref[light_i, 6]
+        lv1y = quads_ref[light_i, 7]
+        lv1z = quads_ref[light_i, 8]
+        lv3x = quads_ref[light_i, 12]
+        lv3y = quads_ref[light_i, 13]
+        lv3z = quads_ref[light_i, 14]
+        # light normal (normalized host-side)
+        lnx = quads_ref[light_i, 0]
+        lny = quads_ref[light_i, 1]
+        lnz = quads_ref[light_i, 2]
+
+        for bounce in range(cfg.bounces):
+            # ---- scene intersect: all quads + spheres, keep nearest -----
+            t_best = jnp.full((tile_rows, width), INFINITY, f32)
+            nx = zeros
+            ny = ones
+            nz = zeros
+            hc_r = zeros
+            hc_g = zeros
+            hc_b = zeros
+            mat = jnp.full((tile_rows, width), -100.0, f32)
+            hid = jnp.full((tile_rows, width), -INFINITY, f32)
+
+            oid_counter = 0
+            for s in range(n_spheres):
+                # object space transform by the 4x4 inverse matrix (scalars)
+                def M(r, c, _s=s):
+                    return sph_ref[_s, r * 4 + c]
+
+                ro_ox = M(0, 0) * rox + M(0, 1) * roy + M(0, 2) * roz + M(0, 3)
+                ro_oy = M(1, 0) * rox + M(1, 1) * roy + M(1, 2) * roz + M(1, 3)
+                ro_oz = M(2, 0) * rox + M(2, 1) * roy + M(2, 2) * roz + M(2, 3)
+                rd_ox = M(0, 0) * rdx + M(0, 1) * rdy + M(0, 2) * rdz
+                rd_oy = M(1, 0) * rdx + M(1, 1) * rdy + M(1, 2) * rdz
+                rd_oz = M(2, 0) * rdx + M(2, 1) * rdy + M(2, 2) * rdz
+                a = _dot(rd_ox, rd_oy, rd_oz, rd_ox, rd_oy, rd_oz)
+                b = 2.0 * _dot(rd_ox, rd_oy, rd_oz, ro_ox, ro_oy, ro_oz)
+                c = _dot(ro_ox, ro_oy, ro_oz, ro_ox, ro_oy, ro_oz) - 1.0
+                inv_a = _safe_inv(a)
+                nb = -b * inv_a * 0.5
+                u2 = nb * nb - c * inv_a
+                real = u2 >= 0.0
+                u = jnp.where(real, _safe_sqrt(u2), 0.0)
+                nbv = jnp.where(real, nb, 0.0)
+                t0 = nbv - u
+                t1 = nbv + u
+                t_s = jnp.where(t0 > 0.0, t0, jnp.where(t1 > 0.0, t1, INFINITY))
+                hx = ro_ox + rd_ox * t_s
+                hy = ro_oy + rd_oy * t_s
+                hz = ro_oz + rd_oz * t_s
+                # world normal: transpose(inv) @ n_obj (n_obj = hit point)
+                wnx = M(0, 0) * hx + M(1, 0) * hy + M(2, 0) * hz
+                wny = M(0, 1) * hx + M(1, 1) * hy + M(2, 1) * hz
+                wnz = M(0, 2) * hx + M(1, 2) * hy + M(2, 2) * hz
+                wnx, wny, wnz = _normalize(wnx, wny, wnz)
+                closer = t_s < t_best
+                t_best = jnp.where(closer, t_s, t_best)
+                nx = jnp.where(closer, wnx, nx)
+                ny = jnp.where(closer, wny, ny)
+                nz = jnp.where(closer, wnz, nz)
+                hc_r = jnp.where(closer, sph_ref[s, 16], hc_r)
+                hc_g = jnp.where(closer, sph_ref[s, 17], hc_g)
+                hc_b = jnp.where(closer, sph_ref[s, 18], hc_b)
+                mat = jnp.where(closer, sph_ref[s, 19], mat)
+                hid = jnp.where(closer, f32(oid_counter), hid)
+                oid_counter += 1
+
+            for q in range(n_quads):
+                def Q(j, _q=q):
+                    return quads_ref[_q, j]
+
+                # two Möller-Trumbore fans: (v0,v1,v2) and (v0,v2,v3)
+                t_q = jnp.full((tile_rows, width), INFINITY, f32)
+                for (ax_, ay_, az_, bx_, by_, bz_) in (
+                    (Q(6) - Q(3), Q(7) - Q(4), Q(8) - Q(5), Q(9) - Q(3), Q(10) - Q(4), Q(11) - Q(5)),
+                    (Q(9) - Q(3), Q(10) - Q(4), Q(11) - Q(5), Q(12) - Q(3), Q(13) - Q(4), Q(14) - Q(5)),
+                ):
+                    pvx, pvy, pvz = _cross(rdx, rdy, rdz, bx_, by_, bz_)
+                    det = ax_ * pvx + ay_ * pvy + az_ * pvz
+                    inv_det = _safe_inv(det)
+                    tvx = rox - Q(3)
+                    tvy = roy - Q(4)
+                    tvz = roz - Q(5)
+                    uu = _dot(tvx, tvy, tvz, pvx, pvy, pvz) * inv_det
+                    qvx, qvy, qvz = _cross(tvx, tvy, tvz, ax_, ay_, az_)
+                    vv = _dot(rdx, rdy, rdz, qvx, qvy, qvz) * inv_det
+                    tt = (bx_ * qvx + by_ * qvy + bz_ * qvz) * inv_det
+                    miss = (uu < 0.0) | (uu > 1.0) | (vv < 0.0) | (uu + vv > 1.0) | (tt <= 0.0)
+                    miss = miss | (det < 0.0)  # backface cull like the jnp path
+                    t_q = jnp.minimum(t_q, jnp.where(miss, INFINITY, tt))
+                closer = t_q < t_best
+                t_best = jnp.where(closer, t_q, t_best)
+                nx = jnp.where(closer, Q(0), nx)
+                ny = jnp.where(closer, Q(1), ny)
+                nz = jnp.where(closer, Q(2), nz)
+                hc_r = jnp.where(closer, Q(15), hc_r)
+                hc_g = jnp.where(closer, Q(16), hc_g)
+                hc_b = jnp.where(closer, Q(17), hc_b)
+                mat = jnp.where(closer, Q(18), mat)
+                hid = jnp.where(closer, f32(oid_counter), hid)
+                oid_counter += 1
+
+            miss = t_best >= INFINITY
+            # n is unit for all sources; face-forward
+            flip = _dot(nx, ny, nz, rdx, rdy, rdz) < 0.0
+            nlx = jnp.where(flip, nx, -nx)
+            nly = jnp.where(flip, ny, -ny)
+            nlz = jnp.where(flip, nz, -nz)
+            xx = rox + rdx * t_best
+            xy = roy + rdy * t_best
+            xz = roz + rdz * t_best
+
+            alive = alive & ~miss
+            lane = alive
+
+            # ---- first-hit records --------------------------------------
+            if bounce == 0:
+                obj_nx = jnp.where(lane, nlx, obj_nx)
+                obj_ny = jnp.where(lane, nly, obj_ny)
+                obj_nz = jnp.where(lane, nlz, obj_nz)
+                obj_cr = jnp.where(lane, hc_r, obj_cr)
+                obj_cg = jnp.where(lane, hc_g, obj_cg)
+                obj_cb = jnp.where(lane, hc_b, obj_cb)
+                obj_id = jnp.where(lane, hid, obj_id)
+            if bounce == 1:
+                am = lane & prev_metal
+                obj_nx = jnp.where(am, nlx, obj_nx)
+                obj_ny = jnp.where(am, nly, obj_ny)
+                obj_nz = jnp.where(am, nlz, obj_nz)
+                obj_id = jnp.where(am, hid, obj_id)
+
+            # ---- light hit ----------------------------------------------
+            is_light = lane & (mat == f32(LIGHT))
+            sharp = jnp.where(is_light & (d_cnt == 0), 1.01, sharp)
+            lit = is_light & (spec | samp_l)
+            acc_r = jnp.where(lit, m_r * hc_r, acc_r)
+            acc_g = jnp.where(lit, m_g * hc_g, acc_g)
+            acc_b = jnp.where(lit, m_b * hc_b, acc_b)
+            alive = alive & ~is_light
+            lane = alive
+
+            # ---- failed shadow ray --------------------------------------
+            alive = alive & ~(lane & samp_l)
+            lane = alive
+
+            # ---- fixed-schedule draws -----------------------------------
+            ch1 = (2 * bounce) % 4
+            ch2 = (2 * bounce + 1) % 4
+            gate1 = bn_ref[ch1]
+            gate2 = bn_ref[ch2]
+            hr, sx, sy = _rng_next(sx, sy)
+            hp, sx, sy = _rng_next(sx, sy)
+            # cosine hemisphere about nl
+            r_ = _safe_sqrt(hr)
+            phi = hp * TWO_PI
+            hx_ = r_ * jnp.cos(phi)
+            hy_ = r_ * jnp.sin(phi)
+            hz_ = _safe_sqrt(1.0 - hx_ * hx_ - hy_ * hy_)
+            # ONB about nl (cross-trick)
+            up_y = jnp.abs(nly) < 0.9
+            helx = jnp.where(up_y, 0.0, 1.0)
+            hely = jnp.where(up_y, 1.0, 0.0)
+            ux, uy, uz = _cross(helx, hely, zeros, nlx, nly, nlz)
+            ux, uy, uz = _normalize(ux, uy, uz)
+            vx, vy, vz = _cross(nlx, nly, nlz, ux, uy, uz)
+            hemx = hx_ * ux + hy_ * vx + hz_ * nlx
+            hemy = hx_ * uy + hy_ * vy + hz_ * nly
+            hemz = hx_ * uz + hy_ * vz + hz_ * nlz
+            hemx, hemy, hemz = _normalize(hemx, hemy, hemz)
+            # quad light sample (3 draws)
+            qx_, sx, sy = _rng_next(sx, sy)
+            qy_, sx, sy = _rng_next(sx, sy)
+            qz_, sx, sy = _rng_next(sx, sy)
+            rpx = lv0x + (lv2x - lv0x) * jnp.clip(qx_, 0.1, 0.9)
+            rpy = lv0y + (lv2y - lv0y) * jnp.clip(qy_, 0.1, 0.9)
+            rpz = lv0z + (lv2z - lv0z) * jnp.clip(qz_, 0.1, 0.9)
+            dlx = rpx - xx
+            dly = rpy - xy
+            dlz = rpz - xz
+            e1 = _safe_sqrt(
+                (lv1x - lv0x) ** 2 + (lv1y - lv0y) ** 2 + (lv1z - lv0z) ** 2
+            )
+            e2 = _safe_sqrt(
+                (lv3x - lv0x) ** 2 + (lv3y - lv0y) ** 2 + (lv3z - lv0z) ** 2
+            )
+            r2 = e1 * e2
+            d2 = _dot(dlx, dly, dlz, dlx, dly, dlz)
+            cos_a_max = _safe_sqrt(1.0 - jnp.clip(r2 / jnp.maximum(d2, 1e-20), 0.0, 1.0))
+            dlx, dly, dlz = _normalize(dlx, dly, dlz)
+            dot_nl = jnp.maximum(0.0, _dot(nlx, nly, nlz, dlx, dly, dlz))
+            lw = 2.0 * (1.0 - cos_a_max) * jnp.maximum(
+                0.0, -(dlx * lnx + dly * lny + dlz * lnz)
+            ) * dot_nl
+            lw = jnp.clip(lw, 0.0, 1.0)
+
+            # ---- material branches --------------------------------------
+            b_diff = lane & (mat == f32(DIFFUSE))
+            b_metal = lane & (mat == f32(METAL))
+            b_trans = lane & (mat == f32(TRANSPARENT))
+            b_coat = lane & (mat == f32(CLEARCOAT_DIFFUSE))
+
+            # DIFFUSE
+            dcnt_d = d_cnt + 1
+            go_ind = (dcnt_d <= cfg.diffuse_indirect_max) & (gate1 < 0.5)
+            rd_dx = jnp.where(go_ind, hemx, dlx)
+            rd_dy = jnp.where(go_ind, hemy, dly)
+            rd_dz = jnp.where(go_ind, hemz, dlz)
+            mw = jnp.where(go_ind, 1.0, lw)
+            md_r = m_r * hc_r * mw
+            md_g = m_g * hc_g * mw
+            md_b = m_b * hc_b * mw
+            sl_d = ~go_ind
+
+            # METAL (perfect mirror in the Cornell family)
+            rfx, rfy, rfz = _reflect(rdx, rdy, rdz, nlx, nly, nlz)
+
+            # TRANSPARENT: Fresnel with geometric n
+            cosi = jnp.clip(_dot(rdx, rdy, rdz, nx, ny, nz), -1.0, 1.0)
+            inside = cosi > 0.0
+            ei = jnp.where(inside, 1.5, 1.0)
+            et = jnp.where(inside, 1.0, 1.5)
+            ratio = ei / et
+            sint = ratio * _safe_sqrt(1.0 - cosi * cosi)
+            tir = sint >= 1.0
+            cost = _safe_sqrt(1.0 - sint * sint)
+            cia = jnp.abs(cosi)
+            rs = (et * cia - ei * cost) / jnp.maximum(et * cia + ei * cost, 1e-20)
+            rp = (ei * cia - et * cost) / jnp.maximum(ei * cia + et * cost, 1e-20)
+            re_t = jnp.where(tir, 1.0, jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0))
+            p_t = 0.25 + 0.5 * re_t
+            go_refl_t = gate1 < p_t
+            # refract(rd, nl, ratio)
+            cosr = _dot(nlx, nly, nlz, rdx, rdy, rdz)
+            kk = 1.0 - ratio * ratio * (1.0 - cosr * cosr)
+            sq = _safe_sqrt(kk)
+            tdx = ratio * rdx - (ratio * cosr + sq) * nlx
+            tdy = ratio * rdy - (ratio * cosr + sq) * nly
+            tdz = ratio * rdz - (ratio * cosr + sq) * nlz
+            tdx = jnp.where(kk < 0.0, 0.0, tdx)
+            tdy = jnp.where(kk < 0.0, 0.0, tdy)
+            tdz = jnp.where(kk < 0.0, 0.0, tdz)
+            if cfg.transparent_tint:
+                ab_r, ab_g, ab_b = hc_r, hc_g, hc_b
+            else:
+                ab_r = jnp.where(inside, jnp.exp(jnp.log(jnp.clip(hc_r, 0.01, 0.99)) * 0.01 * t_best), 1.0)
+                ab_g = jnp.where(inside, jnp.exp(jnp.log(jnp.clip(hc_g, 0.01, 0.99)) * 0.01 * t_best), 1.0)
+                ab_b = jnp.where(inside, jnp.exp(jnp.log(jnp.clip(hc_b, 0.01, 0.99)) * 0.01 * t_best), 1.0)
+            tr_t = 1.0 - re_t
+            mt_refl = re_t / p_t
+            mt_refr = tr_t / (1.0 - p_t)
+            mt_r = jnp.where(go_refl_t, m_r * mt_refl, m_r * ab_r * mt_refr)
+            mt_g = jnp.where(go_refl_t, m_g * mt_refl, m_g * ab_g * mt_refr)
+            mt_b = jnp.where(go_refl_t, m_b * mt_refl, m_b * ab_b * mt_refr)
+            rd_tx = jnp.where(go_refl_t, rfx, tdx)
+            rd_ty = jnp.where(go_refl_t, rfy, tdy)
+            rd_tz = jnp.where(go_refl_t, rfz, tdz)
+            off_t = jnp.where(go_refl_t, eps, -eps)
+            spec_t = jnp.where(go_refl_t, spec, spec | (d_cnt == 1))
+            sharp_t = jnp.where(
+                (d_cnt == 0) & ~coat & (not cfg.camera_is_moving),
+                1.01,
+                jnp.where(d_cnt > 0, 0.0, -1.0),
+            )
+
+            # CLEARCOAT (Fresnel with nl, IOR 1.4)
+            cosc = jnp.clip(_dot(rdx, rdy, rdz, nlx, nly, nlz), -1.0, 1.0)
+            in_c = cosc > 0.0
+            ei_c = jnp.where(in_c, 1.4, 1.0)
+            et_c = jnp.where(in_c, 1.0, 1.4)
+            ratio_c = ei_c / et_c
+            sint_c = ratio_c * _safe_sqrt(1.0 - cosc * cosc)
+            cost_c = _safe_sqrt(1.0 - sint_c * sint_c)
+            cca = jnp.abs(cosc)
+            rs_c = (et_c * cca - ei_c * cost_c) / jnp.maximum(et_c * cca + ei_c * cost_c, 1e-20)
+            rp_c = (ei_c * cca - et_c * cost_c) / jnp.maximum(ei_c * cca + et_c * cost_c, 1e-20)
+            re_c = jnp.where(sint_c >= 1.0, 1.0, jnp.clip(0.5 * (rs_c * rs_c + rp_c * rp_c), 0.0, 1.0))
+            p_c = 0.25 + 0.5 * re_c
+            go_refl_c = gate1 < p_c
+            dcnt_c = d_cnt + 1
+            go_ind_c = (dcnt_c <= cfg.diffuse_indirect_max) & (gate2 < 0.5)
+            mc_base = (1.0 - re_c) / (1.0 - p_c)
+            mw_c = jnp.where(go_ind_c, 1.0, lw)
+            mc_r = jnp.where(go_refl_c, m_r * re_c / p_c, m_r * mc_base * hc_r * mw_c)
+            mc_g = jnp.where(go_refl_c, m_g * re_c / p_c, m_g * mc_base * hc_g * mw_c)
+            mc_b = jnp.where(go_refl_c, m_b * re_c / p_c, m_b * mc_base * hc_b * mw_c)
+            rd_cx = jnp.where(go_refl_c, rfx, jnp.where(go_ind_c, hemx, dlx))
+            rd_cy = jnp.where(go_refl_c, rfy, jnp.where(go_ind_c, hemy, dly))
+            rd_cz = jnp.where(go_refl_c, rfz, jnp.where(go_ind_c, hemz, dlz))
+            dcnt_sel_c = jnp.where(go_refl_c, d_cnt, dcnt_c)
+            spec_c = jnp.where(go_refl_c, spec, False)
+            sl_c = jnp.where(go_refl_c, False, ~go_ind_c & (bounce < 3))
+            sharp_c = jnp.where(
+                go_refl_c,
+                jnp.where(d_cnt == 0, jnp.where(frame > 500.0, 1.01, -1.0), 0.0),
+                0.0,
+            )
+
+            # ---- merge --------------------------------------------------
+            new_rdx = jnp.where(b_diff, rd_dx, jnp.where(b_metal, rfx, jnp.where(b_trans, rd_tx, jnp.where(b_coat, rd_cx, rdx))))
+            new_rdy = jnp.where(b_diff, rd_dy, jnp.where(b_metal, rfy, jnp.where(b_trans, rd_ty, jnp.where(b_coat, rd_cy, rdy))))
+            new_rdz = jnp.where(b_diff, rd_dz, jnp.where(b_metal, rfz, jnp.where(b_trans, rd_tz, jnp.where(b_coat, rd_cz, rdz))))
+            off = jnp.where(b_trans, off_t, eps)
+            new_rox = xx + nlx * off
+            new_roy = xy + nly * off
+            new_roz = xz + nlz * off
+            new_mr = jnp.where(b_diff, md_r, jnp.where(b_metal, m_r * hc_r, jnp.where(b_trans, mt_r, jnp.where(b_coat, mc_r, m_r))))
+            new_mg = jnp.where(b_diff, md_g, jnp.where(b_metal, m_g * hc_g, jnp.where(b_trans, mt_g, jnp.where(b_coat, mc_g, m_g))))
+            new_mb = jnp.where(b_diff, md_b, jnp.where(b_metal, m_b * hc_b, jnp.where(b_trans, mt_b, jnp.where(b_coat, mc_b, m_b))))
+            new_spec = jnp.where(b_diff, False, jnp.where(b_trans, spec_t, jnp.where(b_coat, spec_c, spec)))
+            new_sl = jnp.where(b_diff, sl_d, jnp.where(b_coat, sl_c, False))
+            new_dc = jnp.where(b_diff, dcnt_d, jnp.where(b_coat, dcnt_sel_c, d_cnt))
+            new_sharp = jnp.where(b_trans, sharp_t, jnp.where(b_coat, sharp_c, sharp))
+            coat = coat | b_coat
+            known = b_diff | b_metal | b_trans | b_coat
+            alive = alive & known
+
+            rdx = jnp.where(lane, new_rdx, rdx)
+            rdy = jnp.where(lane, new_rdy, rdy)
+            rdz = jnp.where(lane, new_rdz, rdz)
+            rox = jnp.where(lane, new_rox, rox)
+            roy = jnp.where(lane, new_roy, roy)
+            roz = jnp.where(lane, new_roz, roz)
+            m_r = jnp.where(lane, new_mr, m_r)
+            m_g = jnp.where(lane, new_mg, m_g)
+            m_b = jnp.where(lane, new_mb, m_b)
+            spec = jnp.where(lane, new_spec, spec)
+            samp_l = jnp.where(lane, new_sl, samp_l)
+            d_cnt = jnp.where(lane, new_dc, d_cnt)
+            sharp = jnp.where(lane, new_sharp, sharp)
+            prev_metal = jnp.where(lane, b_metal, prev_metal)
+
+        col_r[:] = jnp.maximum(acc_r, 0.0)
+        col_g[:] = jnp.maximum(acc_g, 0.0)
+        col_b[:] = jnp.maximum(acc_b, 0.0)
+        onx[:] = obj_nx
+        ony[:] = obj_ny
+        onz[:] = obj_nz
+        ocr[:] = obj_cr
+        ocg[:] = obj_cg
+        ocb[:] = obj_cb
+        oid[:] = obj_id
+        osh[:] = sharp
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host-side wrapper
+# ---------------------------------------------------------------------------
+
+def pack_cornell_scene(scene: Scene):
+    """Scene pytree -> (quads (Nq, 20), spheres (Ns, 21)) SMEM-friendly packs."""
+    q = scene.quads
+    from bpt_tpu.core.vecmath import normalize as _n
+
+    qn = jnp.asarray(_n(q.normal))
+    quads = jnp.concatenate(
+        [qn, q.v0, q.v1, q.v2, q.v3, q.color, q.mat_type.astype(jnp.float32)[:, None],
+         jnp.zeros((q.v0.shape[0], 1), jnp.float32)],
+        axis=1,
+    )
+    s = scene.spheres
+    sph = jnp.concatenate(
+        [s.inv_matrix.reshape(-1, 16), s.color, s.mat_type.astype(jnp.float32)[:, None],
+         jnp.zeros((s.color.shape[0], 1), jnp.float32)],
+        axis=1,
+    )
+    return quads, sph
+
+
+def pack_camera(camera, width: int, height: int):
+    from bpt_tpu.camera import film_extents
+
+    ulen, vlen = film_extents(camera, width, height)
+    return jnp.concatenate(
+        [
+            camera.position,
+            camera.right,
+            camera.up,
+            camera.forward,
+            jnp.stack([ulen, vlen, camera.aperture_size, camera.focus_distance]),
+        ]
+    ).astype(jnp.float32)
+
+
+def _blue_noise_planes(blue_noise, height, width, rand_vec2):
+    """Per-pixel decision texel, gathered outside the kernel: (4, H, W)."""
+    size = blue_noise.shape[0]
+    ox = jnp.floor(rand_vec2[0] * size).astype(jnp.int32)
+    oy = jnp.floor(rand_vec2[1] * size).astype(jnp.int32)
+    py, px = jnp.mgrid[0:height, 0:width]
+    ix = jnp.mod(px + ox, size)
+    iy = jnp.mod(py + oy, size)
+    texel = blue_noise[iy, ix]  # (H, W, 4)
+    return jnp.moveaxis(jnp.mod(texel, 1.0), -1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "interpret"))
+def _pallas_forward(quads, sph, cam, scalars, bn_planes, cfg, height, width, tile_rows, interpret=False):
+    n_quads = quads.shape[0]
+    n_spheres = sph.shape[0]
+    kernel = _make_kernel(cfg, n_quads, n_spheres, tile_rows, width, height)
+    n_tiles = height // tile_rows
+    plane = jax.ShapeDtypeStruct((height, width), jnp.float32)
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam (16,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (2,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # quads
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # spheres
+            pl.BlockSpec((4, tile_rows, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * 11,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[plane] * 11,
+        interpret=interpret,
+    )(cam, scalars, quads, sph, bn_planes)
+
+
+def trace_image_pallas(
+    scene: Scene,
+    camera,
+    cfg: IntegratorConfig,
+    width: int,
+    height: int,
+    frame_counter,
+    rand_vec2,
+    blue_noise,
+    tile_rows: int = 64,
+    interpret: bool = False,
+):
+    """Pallas forward of the Cornell-family radiance pass.
+
+    Returns the same RadianceResult as integrator.frame.trace_image (same
+    RNG schedule, float-level parity).  Requires scene.quads + scene.spheres
+    only (env 'none', quad NEE) — the reference Cornell demo family.
+    """
+    from bpt_tpu.integrator.radiance import RadianceResult
+
+    assert cfg.env == "none" and cfg.nee == "quad" and not cfg.metal_roughness_lobe
+    assert scene.quadrics is None and scene.mesh is None
+    quads, sph = pack_cornell_scene(scene)
+    cam = pack_camera(camera, width, height)
+    scalars = jnp.stack(
+        [jnp.asarray(frame_counter, jnp.float32), jnp.asarray(0.0, jnp.float32)]
+    )
+    bn_planes = _blue_noise_planes(jnp.asarray(blue_noise), height, width, jnp.asarray(rand_vec2))
+    outs = _pallas_forward(quads, sph, cam, scalars, bn_planes, cfg, height, width, tile_rows, interpret)
+    (cr, cg, cb, onx, ony, onz, ocr, ocg, ocb, oid, osh) = outs
+    return RadianceResult(
+        color=jnp.stack([cr, cg, cb], axis=-1),
+        object_normal=jnp.stack([onx, ony, onz], axis=-1),
+        object_color=jnp.stack([ocr, ocg, ocb], axis=-1),
+        object_id=oid,
+        pixel_sharpness=osh,
+    )

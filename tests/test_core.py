@@ -75,7 +75,8 @@ def test_rng_matches_scalar_reference():
             qx = (1103515245 * ((sx >> 1) ^ sy)) & mask
             qy = (1103515245 * ((sy >> 1) ^ sx)) & mask
             n = (1103515245 * (qx ^ (qy >> 3))) & mask
-            out.append(n / 4294967295.0)
+            bits = np.array((n >> 9) | 0x3F800000, dtype=np.uint32)
+            out.append(float(bits.view(np.float32)) - 1.0)
         return out
 
     st = rng_seed(7, jnp.array([3, 100]), jnp.array([5, 200]))

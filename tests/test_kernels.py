@@ -1,0 +1,60 @@
+"""Pallas megakernel parity vs the jnp reference integrator.
+
+Runs in interpreter mode on CPU (same program, same RNG draws); the real
+Mosaic compile is exercised on TPU by bench/demo runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bpt_tpu.core.rng import blue_noise_table
+from bpt_tpu.integrator import IntegratorConfig
+from bpt_tpu.integrator.frame import trace_image
+from bpt_tpu.kernels.megakernel import trace_image_pallas
+from bpt_tpu.scenes.cornell import cornell_camera, cornell_scene
+from bpt_tpu.scenes.types import TRANSPARENT
+
+RES = 64
+BN = jnp.asarray(blue_noise_table())
+RV = jnp.asarray([0.3, 0.7], jnp.float32)
+
+
+@pytest.mark.parametrize("right_mat", [3, TRANSPARENT])
+def test_megakernel_matches_jnp_reference(right_mat):
+    scene = cornell_scene(right_sphere_mat=right_mat)
+    camera = cornell_camera()
+    cfg = IntegratorConfig(bounces=4)
+    ref = trace_image(scene, camera, cfg, RES, RES, 2.0, RV, BN)
+    got = trace_image_pallas(
+        scene, camera, cfg, RES, RES, 2.0, RV, BN, tile_rows=32, interpret=True
+    )
+    a = np.asarray(ref.color)
+    b = np.asarray(got.color)
+    close = np.isclose(a, b, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() > 0.995, f"color parity {close.mean():.4f}"
+    # first-hit records are pre-RNG-divergence -> near-exact (a few
+    # silhouette lanes differ at ~3e-5 from matmul association order)
+    np.testing.assert_allclose(
+        np.asarray(ref.object_normal), np.asarray(got.object_normal), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(ref.object_id), np.asarray(got.object_id))
+    sh_match = (np.asarray(ref.pixel_sharpness) == np.asarray(got.pixel_sharpness)).mean()
+    assert sh_match > 0.99, f"sharpness parity {sh_match:.4f}"
+
+
+def test_megakernel_dof_parity():
+    scene = cornell_scene()
+    from bpt_tpu.camera import Camera
+
+    camera = Camera.look(
+        position=(0.0, -20.0, -120.0), fov=0.8, aperture_size=1.0, focus_distance=100.0
+    )
+    cfg = IntegratorConfig(bounces=2)
+    ref = trace_image(scene, camera, cfg, RES, RES, 5.0, RV, BN)
+    got = trace_image_pallas(
+        scene, camera, cfg, RES, RES, 5.0, RV, BN, tile_rows=32, interpret=True
+    )
+    close = np.isclose(np.asarray(ref.color), np.asarray(got.color), rtol=1e-4, atol=1e-5).all(-1)
+    assert close.mean() > 0.995
