@@ -44,10 +44,21 @@ def triangle_aabbs(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray, pad: float = 
     return mn.astype(np.float32), mx.astype(np.float32), centroid.astype(np.float32)
 
 
-def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray) -> BuiltBVH:
-    """Build the flat BVH over T triangle AABBs; returns 2T-1 nodes."""
+def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray, use_native: str = "auto") -> BuiltBVH:
+    """Build the flat BVH over T triangle AABBs; returns 2T-1 nodes.
+
+    use_native: "auto" (native C++ builder when it loads, else numpy),
+    "never", or "require".  Both builders emit bit-identical trees
+    (stable partitions, same axis ranking) — tested in tests/test_native.py.
+    """
     t_count = aabb_min.shape[0]
     assert t_count >= 1
+    if use_native != "never":
+        built = _build_bvh_native(aabb_min, aabb_max)
+        if built is not None:
+            return built
+        if use_native == "require":
+            raise RuntimeError("native BVH builder unavailable (g++ compile failed?)")
     centroid = (aabb_min + aabb_max) * 0.5
     n_nodes = 2 * t_count - 1
     node_tri = np.full(n_nodes, -1, np.int32)
@@ -106,3 +117,39 @@ def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray) -> BuiltBVH:
 
     assert next_id == n_nodes
     return BuiltBVH(node_tri, node_right, node_min, node_max, max_depth)
+
+
+def _build_bvh_native(aabb_min: np.ndarray, aabb_max: np.ndarray):
+    """C++ builder via ctypes; None when the library can't be loaded."""
+    import ctypes
+
+    from bpt_tpu.accel.native import load
+
+    lib = load()
+    if lib is None:
+        return None
+    t_count = aabb_min.shape[0]
+    n_nodes = 2 * t_count - 1
+    mn = np.ascontiguousarray(aabb_min, np.float32)
+    mx = np.ascontiguousarray(aabb_max, np.float32)
+    node_tri = np.empty(n_nodes, np.int32)
+    node_right = np.empty(n_nodes, np.int32)
+    node_min = np.empty((n_nodes, 3), np.float32)
+    node_max = np.empty((n_nodes, 3), np.float32)
+    max_depth = np.zeros(1, np.int32)
+
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.bvh_build(
+        mn.ctypes.data_as(fp),
+        mx.ctypes.data_as(fp),
+        ctypes.c_int64(t_count),
+        node_tri.ctypes.data_as(ip),
+        node_right.ctypes.data_as(ip),
+        node_min.ctypes.data_as(fp),
+        node_max.ctypes.data_as(fp),
+        max_depth.ctypes.data_as(ip),
+    )
+    if rc != 0:
+        return None
+    return BuiltBVH(node_tri, node_right, node_min, node_max, int(max_depth[0]))

@@ -124,7 +124,12 @@ def render_frame(
     """
     height, width = previous.shape[0], previous.shape[1]
     result = trace_image(scene, camera, cfg, width, height, frame_counter, rand_vec2, blue_noise)
+    return finish_frame(result, previous, frame_counter, camera_is_moving)
 
+
+def finish_frame(result: RadianceResult, previous, frame_counter, camera_is_moving) -> jnp.ndarray:
+    """Edge detection + accumulation protocol, shared by the jnp and Pallas
+    trace paths (PathTracingCommon.js:1306-1357)."""
     normal_diff, object_diff, color_diff = detect_edges(result)
     sharp = result.pixel_sharpness
     sharp = jnp.where((color_diff >= 1.0) | (normal_diff >= 1.0) | (object_diff >= 1.0), 1.01, sharp)

@@ -1,0 +1,38 @@
+"""Wiring the Pallas megakernel into the progressive renderer.
+
+`attach_pallas_path(renderer)` swaps a ProgressiveRenderer's jitted step for
+one whose radiance pass is the fused Pallas kernel; edge detection and the
+accumulation protocol are shared with the jnp path (finish_frame), so the
+renderer's behavior — including denoiser alpha flags and motion resets — is
+unchanged up to float tolerance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bpt_tpu.integrator.frame import finish_frame
+from bpt_tpu.kernels.megakernel import trace_image_pallas
+from bpt_tpu.renderer import ProgressiveRenderer, RenderState
+
+
+def attach_pallas_path(renderer: ProgressiveRenderer, tile_rows: int = 128) -> None:
+    cfg = renderer.cfg
+    height, width = renderer.height, renderer.width
+    tile_rows = min(tile_rows, height)
+
+    def step_state_pallas(scene, camera, _cfg, state, camera_is_moving, rand_vec2, blue_noise):
+        moving = jnp.asarray(camera_is_moving, bool)
+        was_still = state.sample_counter != 1.0
+        frame_counter = jnp.where(moving & was_still, 1.0, state.frame_counter + 1.0)
+        sample_counter = jnp.where(moving, 1.0, state.sample_counter + 1.0)
+        result = trace_image_pallas(
+            scene, camera, cfg, width, height, frame_counter, rand_vec2, blue_noise,
+            tile_rows=tile_rows,
+            interpret=jax.default_backend() != "tpu",
+        )
+        accum = finish_frame(result, state.accum, frame_counter, moving)
+        return RenderState(accum=accum, sample_counter=sample_counter, frame_counter=frame_counter)
+
+    renderer._step = jax.jit(step_state_pallas, static_argnums=(2,))

@@ -163,6 +163,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
         # --- per-path state ----------------------------------------------
         zeros = jnp.zeros((tile_rows, width), f32)
         ones = jnp.ones((tile_rows, width), f32)
+        false_ = zeros > 1.0
         acc_r = zeros
         acc_g = zeros
         acc_b = zeros
@@ -479,8 +480,8 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
             rd_cy = jnp.where(go_refl_c, rfy, jnp.where(go_ind_c, hemy, dly))
             rd_cz = jnp.where(go_refl_c, rfz, jnp.where(go_ind_c, hemz, dlz))
             dcnt_sel_c = jnp.where(go_refl_c, d_cnt, dcnt_c)
-            spec_c = jnp.where(go_refl_c, spec, False)
-            sl_c = jnp.where(go_refl_c, False, ~go_ind_c & (bounce < 3))
+            spec_c = jnp.where(go_refl_c, spec, false_)
+            sl_c = jnp.where(go_refl_c, false_, (~go_ind_c & (bounce < 3)) | false_)
             sharp_c = jnp.where(
                 go_refl_c,
                 jnp.where(d_cnt == 0, jnp.where(frame > 500.0, 1.01, -1.0), 0.0),
@@ -498,8 +499,8 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
             new_mr = jnp.where(b_diff, md_r, jnp.where(b_metal, m_r * hc_r, jnp.where(b_trans, mt_r, jnp.where(b_coat, mc_r, m_r))))
             new_mg = jnp.where(b_diff, md_g, jnp.where(b_metal, m_g * hc_g, jnp.where(b_trans, mt_g, jnp.where(b_coat, mc_g, m_g))))
             new_mb = jnp.where(b_diff, md_b, jnp.where(b_metal, m_b * hc_b, jnp.where(b_trans, mt_b, jnp.where(b_coat, mc_b, m_b))))
-            new_spec = jnp.where(b_diff, False, jnp.where(b_trans, spec_t, jnp.where(b_coat, spec_c, spec)))
-            new_sl = jnp.where(b_diff, sl_d, jnp.where(b_coat, sl_c, False))
+            new_spec = jnp.where(b_diff, false_, jnp.where(b_trans, spec_t, jnp.where(b_coat, spec_c, spec)))
+            new_sl = jnp.where(b_diff, sl_d, jnp.where(b_coat, sl_c, false_))
             new_dc = jnp.where(b_diff, dcnt_d, jnp.where(b_coat, dcnt_sel_c, d_cnt))
             new_sharp = jnp.where(b_trans, sharp_t, jnp.where(b_coat, sharp_c, sharp))
             coat = coat | b_coat
