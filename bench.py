@@ -30,6 +30,8 @@ def main():
     p.add_argument("--frames", type=int, default=8, help="frames fused per dispatch")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--forward-only", action="store_true")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas megakernel forward (jnp VJP backward)")
     args = p.parse_args()
 
     from bpt_tpu.core.rng import blue_noise_table
@@ -46,15 +48,30 @@ def main():
     blue_noise = jnp.asarray(blue_noise_table())
     rand_vec2 = jnp.asarray([0.3, 0.7], jnp.float32)
 
+    if args.pallas:
+        from bpt_tpu.kernels.megakernel import trace_image_pallas
+
+        def trace(s, fc):
+            r = trace_image_pallas(s, camera, cfg, h, w, fc, rand_vec2, blue_noise)
+            return r.color
+    else:
+        def trace(s, fc):
+            from bpt_tpu.integrator.frame import trace_image
+
+            return trace_image(s, camera, cfg, w, h, fc, rand_vec2, blue_noise).color
+
     def k_frames(light_color, frame0):
         quads = scene.quads._replace(color=scene.quads.color.at[5].set(light_color))
         s = scene._replace(quads=quads)
 
-        def body(prev, fc):
-            return render_frame(s, camera, cfg, prev, fc, False, rand_vec2, blue_noise), None
+        # per-frame rematerialization: the K-frame fwd+bwd would otherwise
+        # hold every frame's residuals and blow past HBM at 1024^2
+        @jax.checkpoint
+        def body(acc, fc):
+            return acc + trace(s, fc), None
 
-        out, _ = jax.lax.scan(body, prev0, frame0 + jnp.arange(0.0, k))
-        return jnp.mean(out[..., :3]), out
+        out, _ = jax.lax.scan(body, jnp.zeros((h, w, 3), jnp.float32), frame0 + jnp.arange(0.0, k))
+        return jnp.mean(out), out
 
     if args.forward_only:
         step = jax.jit(lambda lc, f0: k_frames(lc, f0)[1])
@@ -81,7 +98,8 @@ def main():
         json.dumps(
             {
                 "metric": f"rays/s/chip {'fwd' if args.forward_only else 'fwd+bwd'} "
-                f"{h}x{w} {args.bounces} bounces (cornell)",
+                f"{h}x{w} {args.bounces} bounces (cornell"
+                f"{', pallas' if args.pallas else ''})",
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_s / per_chip_target, 4),

@@ -106,12 +106,21 @@ def sample_env_cdf(cdf: EnvCDF, u1, u2):
     Directions follow get_hdr_color's equirect convention so that
     get_hdr_color(img, dir) looks up (approximately) the sampled texel.
     """
+    import jax
+
     h = cdf.row_cdf.shape[0]
     w = cdf.col_cdf.shape[1]
-    row = jnp.searchsorted(cdf.row_cdf, u1)
-    row = jnp.clip(row, 0, h - 1)
-    col_cdf_row = cdf.col_cdf[row]
-    col = jnp.clip(jnp.searchsorted(col_cdf_row, u2, axis=-1 if col_cdf_row.ndim > 1 else 0), 0, w - 1)
+    u1 = jnp.asarray(u1)
+    u2 = jnp.asarray(u2)
+    row = jnp.clip(jnp.searchsorted(cdf.row_cdf, u1), 0, h - 1)
+    col_cdf_row = cdf.col_cdf[row]  # (..., W)
+    if col_cdf_row.ndim == 1:
+        col = jnp.searchsorted(col_cdf_row, u2)
+    else:
+        col = jax.vmap(jnp.searchsorted)(
+            col_cdf_row.reshape(-1, w), u2.reshape(-1)
+        ).reshape(u2.shape)
+    col = jnp.clip(col, 0, w - 1)
     v = (row.astype(jnp.float32) + 0.5) / h
     u = (col.astype(jnp.float32) + 0.5) / w
     theta = v * jnp.pi  # acos(-y)

@@ -17,10 +17,11 @@ from bpt_tpu.kernels.megakernel import trace_image_pallas
 from bpt_tpu.renderer import ProgressiveRenderer, RenderState
 
 
-def attach_pallas_path(renderer: ProgressiveRenderer, tile_rows: int = 128) -> None:
+def attach_pallas_path(renderer: ProgressiveRenderer, tile_rows: int = 32, tile_cols: int = 256) -> None:
     cfg = renderer.cfg
     height, width = renderer.height, renderer.width
     tile_rows = min(tile_rows, height)
+    tile_cols = min(tile_cols, width)
 
     def step_state_pallas(scene, camera, _cfg, state, camera_is_moving, rand_vec2, blue_noise):
         moving = jnp.asarray(camera_is_moving, bool)
@@ -29,7 +30,7 @@ def attach_pallas_path(renderer: ProgressiveRenderer, tile_rows: int = 128) -> N
         sample_counter = jnp.where(moving, 1.0, state.sample_counter + 1.0)
         result = trace_image_pallas(
             scene, camera, cfg, width, height, frame_counter, rand_vec2, blue_noise,
-            tile_rows=tile_rows,
+            tile_rows=tile_rows, tile_cols=tile_cols,
             interpret=jax.default_backend() != "tpu",
         )
         accum = finish_frame(result, state.accum, frame_counter, moving)

@@ -108,7 +108,7 @@ def _tent(x):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows: int, width: int, height: int):
+def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows: int, tile_cols: int, width: int, height: int):
     eps = cfg.eps_intersect
     light_i = cfg.light_index if cfg.light_index >= 0 else n_quads - 1
 
@@ -122,8 +122,9 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
     ):
         f32 = jnp.float32
         row0 = pl.program_id(0) * tile_rows
-        py_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0) + row0
-        px_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
+        col0 = pl.program_id(1) * tile_cols
+        py_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_cols), 0) + row0
+        px_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_cols), 1) + col0
 
         frame = scalars_ref[0]
         moving = scalars_ref[1] > 0.5
@@ -161,9 +162,8 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
         roz = cam_ref[2] + apz
 
         # --- per-path state ----------------------------------------------
-        zeros = jnp.zeros((tile_rows, width), f32)
-        ones = jnp.ones((tile_rows, width), f32)
-        false_ = zeros > 1.0
+        zeros = jnp.zeros((tile_rows, tile_cols), f32)
+        ones = jnp.ones((tile_rows, tile_cols), f32)
         acc_r = zeros
         acc_g = zeros
         acc_b = zeros
@@ -174,7 +174,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
         spec = ones > 0.0
         samp_l = zeros > 1.0
         coat = zeros > 1.0
-        d_cnt = jnp.zeros((tile_rows, width), jnp.int32)
+        d_cnt = jnp.zeros((tile_rows, tile_cols), jnp.int32)
         sharp = zeros
         obj_nx = zeros
         obj_ny = zeros
@@ -182,7 +182,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
         obj_cr = zeros
         obj_cg = zeros
         obj_cb = zeros
-        obj_id = jnp.full((tile_rows, width), -INFINITY, f32)
+        obj_id = jnp.full((tile_rows, tile_cols), -INFINITY, f32)
         prev_metal = zeros > 1.0
 
         lv0x = quads_ref[light_i, 3]
@@ -204,15 +204,15 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
 
         for bounce in range(cfg.bounces):
             # ---- scene intersect: all quads + spheres, keep nearest -----
-            t_best = jnp.full((tile_rows, width), INFINITY, f32)
+            t_best = jnp.full((tile_rows, tile_cols), INFINITY, f32)
             nx = zeros
             ny = ones
             nz = zeros
             hc_r = zeros
             hc_g = zeros
             hc_b = zeros
-            mat = jnp.full((tile_rows, width), -100.0, f32)
-            hid = jnp.full((tile_rows, width), -INFINITY, f32)
+            mat = jnp.full((tile_rows, tile_cols), -100.0, f32)
+            hid = jnp.full((tile_rows, tile_cols), -INFINITY, f32)
 
             oid_counter = 0
             for s in range(n_spheres):
@@ -263,7 +263,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
                     return quads_ref[_q, j]
 
                 # two Möller-Trumbore fans: (v0,v1,v2) and (v0,v2,v3)
-                t_q = jnp.full((tile_rows, width), INFINITY, f32)
+                t_q = jnp.full((tile_rows, tile_cols), INFINITY, f32)
                 for (ax_, ay_, az_, bx_, by_, bz_) in (
                     (Q(6) - Q(3), Q(7) - Q(4), Q(8) - Q(5), Q(9) - Q(3), Q(10) - Q(4), Q(11) - Q(5)),
                     (Q(9) - Q(3), Q(10) - Q(4), Q(11) - Q(5), Q(12) - Q(3), Q(13) - Q(4), Q(14) - Q(5)),
@@ -448,7 +448,8 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
             rd_ty = jnp.where(go_refl_t, rfy, tdy)
             rd_tz = jnp.where(go_refl_t, rfz, tdz)
             off_t = jnp.where(go_refl_t, eps, -eps)
-            spec_t = jnp.where(go_refl_t, spec, spec | (d_cnt == 1))
+            # bool select -> logical ops (Mosaic can't lower vector i1 selects)
+            spec_t = spec | (~go_refl_t & (d_cnt == 1))
             sharp_t = jnp.where(
                 (d_cnt == 0) & ~coat & (not cfg.camera_is_moving),
                 1.01,
@@ -480,8 +481,8 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
             rd_cy = jnp.where(go_refl_c, rfy, jnp.where(go_ind_c, hemy, dly))
             rd_cz = jnp.where(go_refl_c, rfz, jnp.where(go_ind_c, hemz, dlz))
             dcnt_sel_c = jnp.where(go_refl_c, d_cnt, dcnt_c)
-            spec_c = jnp.where(go_refl_c, spec, false_)
-            sl_c = jnp.where(go_refl_c, false_, (~go_ind_c & (bounce < 3)) | false_)
+            spec_c = go_refl_c & spec
+            sl_c = ~go_refl_c & ~go_ind_c & (bounce < 3)
             sharp_c = jnp.where(
                 go_refl_c,
                 jnp.where(d_cnt == 0, jnp.where(frame > 500.0, 1.01, -1.0), 0.0),
@@ -499,8 +500,8 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
             new_mr = jnp.where(b_diff, md_r, jnp.where(b_metal, m_r * hc_r, jnp.where(b_trans, mt_r, jnp.where(b_coat, mc_r, m_r))))
             new_mg = jnp.where(b_diff, md_g, jnp.where(b_metal, m_g * hc_g, jnp.where(b_trans, mt_g, jnp.where(b_coat, mc_g, m_g))))
             new_mb = jnp.where(b_diff, md_b, jnp.where(b_metal, m_b * hc_b, jnp.where(b_trans, mt_b, jnp.where(b_coat, mc_b, m_b))))
-            new_spec = jnp.where(b_diff, false_, jnp.where(b_trans, spec_t, jnp.where(b_coat, spec_c, spec)))
-            new_sl = jnp.where(b_diff, sl_d, jnp.where(b_coat, sl_c, false_))
+            new_spec = ~b_diff & ((b_trans & spec_t) | (b_coat & spec_c) | (~b_trans & ~b_coat & spec))
+            new_sl = (b_diff & sl_d) | (~b_diff & b_coat & sl_c)
             new_dc = jnp.where(b_diff, dcnt_d, jnp.where(b_coat, dcnt_sel_c, d_cnt))
             new_sharp = jnp.where(b_trans, sharp_t, jnp.where(b_coat, sharp_c, sharp))
             coat = coat | b_coat
@@ -516,11 +517,11 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
             m_r = jnp.where(lane, new_mr, m_r)
             m_g = jnp.where(lane, new_mg, m_g)
             m_b = jnp.where(lane, new_mb, m_b)
-            spec = jnp.where(lane, new_spec, spec)
-            samp_l = jnp.where(lane, new_sl, samp_l)
+            spec = (lane & new_spec) | (~lane & spec)
+            samp_l = (lane & new_sl) | (~lane & samp_l)
             d_cnt = jnp.where(lane, new_dc, d_cnt)
             sharp = jnp.where(lane, new_sharp, sharp)
-            prev_metal = jnp.where(lane, b_metal, prev_metal)
+            prev_metal = (lane & b_metal) | (~lane & prev_metal)
 
         col_r[:] = jnp.maximum(acc_r, 0.0)
         col_g[:] = jnp.maximum(acc_g, 0.0)
@@ -588,24 +589,24 @@ def _blue_noise_planes(blue_noise, height, width, rand_vec2):
     return jnp.moveaxis(jnp.mod(texel, 1.0), -1, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "interpret"))
-def _pallas_forward(quads, sph, cam, scalars, bn_planes, cfg, height, width, tile_rows, interpret=False):
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "tile_cols", "interpret"))
+def _pallas_forward(quads, sph, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False):
     n_quads = quads.shape[0]
     n_spheres = sph.shape[0]
-    kernel = _make_kernel(cfg, n_quads, n_spheres, tile_rows, width, height)
-    n_tiles = height // tile_rows
+    kernel = _make_kernel(cfg, n_quads, n_spheres, tile_rows, tile_cols, width, height)
+    grid = (height // tile_rows, width // tile_cols)
     plane = jax.ShapeDtypeStruct((height, width), jnp.float32)
     grid_spec = pl.GridSpec(
-        grid=(n_tiles,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam (16,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (2,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # quads
             pl.BlockSpec(memory_space=pltpu.SMEM),  # spheres
-            pl.BlockSpec((4, tile_rows, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile_rows, tile_cols), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM)
         ] * 11,
     )
     return pl.pallas_call(
@@ -625,7 +626,8 @@ def trace_image_pallas(
     frame_counter,
     rand_vec2,
     blue_noise,
-    tile_rows: int = 64,
+    tile_rows: int = 32,
+    tile_cols: int = 256,
     interpret: bool = False,
 ):
     """Pallas forward of the Cornell-family radiance pass.
@@ -644,7 +646,11 @@ def trace_image_pallas(
         [jnp.asarray(frame_counter, jnp.float32), jnp.asarray(0.0, jnp.float32)]
     )
     bn_planes = _blue_noise_planes(jnp.asarray(blue_noise), height, width, jnp.asarray(rand_vec2))
-    outs = _pallas_forward(quads, sph, cam, scalars, bn_planes, cfg, height, width, tile_rows, interpret)
+    tile_rows = min(tile_rows, height)
+    tile_cols = min(tile_cols, width)
+    outs = _pallas_forward(
+        quads, sph, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret
+    )
     (cr, cg, cb, onx, ony, onz, ocr, ocg, ocb, oid, osh) = outs
     return RadianceResult(
         color=jnp.stack([cr, cg, cb], axis=-1),
