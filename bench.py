@@ -30,9 +30,11 @@ def main():
     p.add_argument("--frames", type=int, default=8, help="frames fused per dispatch")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--forward-only", action="store_true")
-    p.add_argument("--pallas", action="store_true",
-                   help="fused Pallas megakernel forward (jnp VJP backward)")
+    p.add_argument("--xla", action="store_true",
+                   help="unfused XLA wavefront path (default: fused Pallas "
+                        "megakernel with path-replay parameter gradients)")
     args = p.parse_args()
+    args.pallas = not args.xla
 
     from bpt_tpu.core.rng import blue_noise_table
     from bpt_tpu.integrator import IntegratorConfig
@@ -52,7 +54,10 @@ def main():
         from bpt_tpu.kernels.megakernel import trace_image_pallas
 
         def trace(s, fc):
-            r = trace_image_pallas(s, camera, cfg, h, w, fc, rand_vec2, blue_noise)
+            r = trace_image_pallas(
+                s, camera, cfg, h, w, fc, rand_vec2, blue_noise,
+                differentiable=not args.forward_only,
+            )
             return r.color
     else:
         def trace(s, fc):
@@ -64,11 +69,15 @@ def main():
         quads = scene.quads._replace(color=scene.quads.color.at[5].set(light_color))
         s = scene._replace(quads=quads)
 
-        # per-frame rematerialization: the K-frame fwd+bwd would otherwise
-        # hold every frame's residuals and blow past HBM at 1024^2
-        @jax.checkpoint
         def body(acc, fc):
             return acc + trace(s, fc), None
+
+        if not args.pallas:
+            # per-frame rematerialization: the XLA wavefront's K-frame
+            # fwd+bwd would otherwise hold every frame's residuals and blow
+            # past HBM at 1024^2.  The Pallas path's path-replay VJP keeps
+            # only ~(n_obj*3) planes per frame, which fits without remat.
+            body = jax.checkpoint(body)
 
         out, _ = jax.lax.scan(body, jnp.zeros((h, w, 3), jnp.float32), frame0 + jnp.arange(0.0, k))
         return jnp.mean(out), out
@@ -83,8 +92,8 @@ def main():
         step = jax.jit(fwd_bwd)
 
     lc = jnp.asarray([10.0, 10.0, 10.0])
-    # warmup / compile
-    jax.block_until_ready(step(lc, 2.0))
+    # warmup / compile (same avals as the timed loop or this recompiles)
+    jax.block_until_ready(step(lc, jnp.asarray(2.0, jnp.float32)))
     t0 = time.perf_counter()
     for i in range(args.iters):
         out = step(lc, jnp.asarray(2.0 + i * k, jnp.float32))
@@ -98,8 +107,8 @@ def main():
         json.dumps(
             {
                 "metric": f"rays/s/chip {'fwd' if args.forward_only else 'fwd+bwd'} "
-                f"{h}x{w} {args.bounces} bounces (cornell"
-                f"{', pallas' if args.pallas else ''})",
+                f"{h}x{w} {args.bounces} bounces (cornell, "
+                f"{'pallas megakernel + path-replay vjp' if args.pallas else 'xla wavefront'})",
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_s / per_chip_target, 4),

@@ -19,9 +19,19 @@ gates ch (2b)%4,(2b+1)%4, hemisphere 2, quad-light 3), with the same
 uint32 hash and mantissa-bitcast float construction — outputs match the jnp
 reference to float tolerance (see tests/test_kernels.py).
 
-Differentiation: `render_tile_radiance` is wrapped in a custom_vjp whose
-backward runs the VJP of the jnp integrator on the same inputs (identical
-draws ⇒ identical program), so the fast forward stays differentiable.
+Differentiation (path-replay, fused): with ``param_grads=True`` the SAME
+forward kernel also emits, per object j and channel c, the plane
+``s[j,c] = Σ_bounces-hitting-j ∂log f_b / ∂ color[j,c]`` — the path-replay
+backpropagation sum computed during the forward replay itself (every
+throughput factor is either independent of material color, linear in it,
+or Beer-Lambert exp(k·log c), so ∂log f/∂c is 1/c resp. k/c).  The
+custom_vjp backward is then pure elementwise math + a reduction:
+``∂L/∂c[j] = Σ_pixels adj·color·s[j]`` (+ the first-hit record term via the
+object-id plane) — no second kernel, no per-bounce residuals, O(1) memory
+in bounce depth.  Exact for the integrator's detached-sampling estimator
+wherever color > 0 (a zero channel zeroes the path's radiance, and its
+gradient is detached — the documented PRB bias).  Camera/geometry params
+fall back to the jnp integrator's AD (same draws ⇒ same program).
 """
 
 from __future__ import annotations
@@ -108,9 +118,10 @@ def _tent(x):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows: int, tile_cols: int, width: int, height: int):
+def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False):
     eps = cfg.eps_intersect
     light_i = cfg.light_index if cfg.light_index >= 0 else n_quads - 1
+    n_obj = n_spheres + n_quads
 
     def kernel(
         cam_ref,      # (16,) SMEM: pos3 right3 up3 fwd3 ulen vlen aperture focus
@@ -119,6 +130,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
         sph_ref,      # (n_spheres, 21) SMEM: inv 4x4 row-major (16) color3 mat pad
         bn_ref,       # (4, TH, W) VMEM: blue-noise channels
         col_r, col_g, col_b, onx, ony, onz, ocr, ocg, ocb, oid, osh,  # outputs (TH, W)
+        *maybe_sg,    # param_grads: one (n_obj*3, TH, W) ref of ∂log-throughput planes
     ):
         f32 = jnp.float32
         row0 = pl.program_id(0) * tile_rows
@@ -201,6 +213,9 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
         lnx = quads_ref[light_i, 0]
         lny = quads_ref[light_i, 1]
         lnz = quads_ref[light_i, 2]
+
+        # path-replay ∂log-throughput accumulators, one plane per (object, ch)
+        sg = [[zeros, zeros, zeros] for _ in range(n_obj)] if param_grads else None
 
         for bounce in range(cfg.bounces):
             # ---- scene intersect: all quads + spheres, keep nearest -----
@@ -523,6 +538,29 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
             sharp = jnp.where(lane, new_sharp, sharp)
             prev_metal = (lane & b_metal) | (~lane & prev_metal)
 
+            if param_grads:
+                # every factor touching the hit object's color this bounce:
+                # DIFFUSE m*=hc·w, METAL m*=hc, CLEARCOAT base m*=base·hc·w,
+                # TRANSPARENT tinted refract m*=hc·tr/(1-p)  → ∂log f/∂c = 1/c;
+                # light hit acc=m·e → 1/e;  Beer-Lambert exp(0.01·t·log clip c)
+                # → 0.01·t/c gated to the clip's linear region.
+                g_lin = b_diff | b_metal | (b_coat & ~go_refl_c) | lit
+                if cfg.transparent_tint:
+                    g_lin = g_lin | (b_trans & ~go_refl_t)
+                g_lin_f = jnp.where(g_lin, 1.0, 0.0)
+                for c, hc_c in enumerate((hc_r, hc_g, hc_b)):
+                    contrib = g_lin_f / jnp.maximum(hc_c, 1e-8)
+                    if not cfg.transparent_tint:
+                        beer = b_trans & ~go_refl_t & inside
+                        beer = beer & (hc_c > 0.01) & (hc_c < 0.99)
+                        contrib = contrib + jnp.where(
+                            beer, 0.01 * t_best / jnp.maximum(hc_c, 1e-8), 0.0
+                        )
+                    for j in range(n_obj):
+                        sg[j][c] = sg[j][c] + jnp.where(
+                            hid == f32(j), contrib, 0.0
+                        )
+
         col_r[:] = jnp.maximum(acc_r, 0.0)
         col_g[:] = jnp.maximum(acc_g, 0.0)
         col_b[:] = jnp.maximum(acc_b, 0.0)
@@ -534,6 +572,11 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
         ocb[:] = obj_cb
         oid[:] = obj_id
         osh[:] = sharp
+        if param_grads:
+            sg_ref = maybe_sg[0]
+            for j in range(n_obj):
+                for c in range(3):
+                    sg_ref[j * 3 + c] = sg[j][c]
 
     return kernel
 
@@ -589,13 +632,23 @@ def _blue_noise_planes(blue_noise, height, width, rand_vec2):
     return jnp.moveaxis(jnp.mod(texel, 1.0), -1, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "tile_cols", "interpret"))
-def _pallas_forward(quads, sph, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False):
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "tile_cols", "interpret", "param_grads"))
+def _pallas_forward(quads, sph, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False, param_grads=False):
     n_quads = quads.shape[0]
     n_spheres = sph.shape[0]
-    kernel = _make_kernel(cfg, n_quads, n_spheres, tile_rows, tile_cols, width, height)
+    n_obj = n_quads + n_spheres
+    kernel = _make_kernel(cfg, n_quads, n_spheres, tile_rows, tile_cols, width, height, param_grads)
     grid = (height // tile_rows, width // tile_cols)
     plane = jax.ShapeDtypeStruct((height, width), jnp.float32)
+    out_shape = [plane] * 11
+    out_specs = [
+        pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    ] * 11
+    if param_grads:
+        out_shape.append(jax.ShapeDtypeStruct((n_obj * 3, height, width), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((n_obj * 3, tile_rows, tile_cols), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+        )
     grid_spec = pl.GridSpec(
         grid=grid,
         in_specs=[
@@ -605,16 +658,62 @@ def _pallas_forward(quads, sph, cam, scalars, bn_planes, cfg, height, width, til
             pl.BlockSpec(memory_space=pltpu.SMEM),  # spheres
             pl.BlockSpec((4, tile_rows, tile_cols), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-        ] * 11,
+        out_specs=out_specs,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[plane] * 11,
+        out_shape=out_shape,
         interpret=interpret,
     )(cam, scalars, quads, sph, bn_planes)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP (path-replay parameter gradients, see module docstring)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile_cols: int, interpret: bool):
+    """Returns radiance(quads, sph, cam, scalars, bn) differentiable w.r.t.
+    the packed material-color columns (quads[:,15:18], sph[:,16:19]) — the
+    emission/albedo parameters of the Cornell-family inverse problem
+    (BASELINE.json config #1/#5 shape).  Other leaves get zero cotangents;
+    use the jnp integrator for camera/geometry gradients."""
+
+    kw = dict(cfg=cfg, height=height, width=width, tile_rows=tile_rows,
+              tile_cols=tile_cols, interpret=interpret)
+
+    @jax.custom_vjp
+    def f(quads, sph, cam, scalars, bn_planes):
+        return tuple(_pallas_forward(quads, sph, cam, scalars, bn_planes, **kw))
+
+    def f_fwd(quads, sph, cam, scalars, bn_planes):
+        *outs, sgrad = _pallas_forward(
+            quads, sph, cam, scalars, bn_planes, param_grads=True, **kw
+        )
+        res = (outs[0], outs[1], outs[2], outs[9], sgrad,
+               jnp.zeros_like(quads), jnp.zeros_like(sph))
+        return tuple(outs), res
+
+    def f_bwd(res, cot):
+        cr, cg, cb, oid_plane, sgrad, zq, zs = res
+        n_q, n_s = zq.shape[0], zs.shape[0]
+        n_obj = n_q + n_s
+        adj_col = jnp.stack(cot[0:3])  # (3, H, W) radiance cotangent
+        color = jnp.stack([cr, cg, cb])
+        sg = sgrad.reshape(n_obj, 3, height, width)
+        gcol = jnp.einsum("chw,jchw->jc", adj_col * color, sg)
+        # first-hit object_color record: d record_c / d color[j,c] = [oid == j]
+        adj_oc = jnp.stack(cot[6:9])
+        onehot = (oid_plane[None] == jnp.arange(n_obj, dtype=jnp.float32)[:, None, None])
+        gcol = gcol + jnp.einsum("chw,jhw->jc", adj_oc, onehot.astype(jnp.float32))
+        gq = zq.at[:, 15:18].set(gcol[n_s:])
+        gs = zs.at[:, 16:19].set(gcol[:n_s])
+        return (gq, gs, jnp.zeros(16, jnp.float32), jnp.zeros(2, jnp.float32),
+                jnp.zeros((4, height, width), jnp.float32))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
 
 
 def trace_image_pallas(
@@ -629,12 +728,17 @@ def trace_image_pallas(
     tile_rows: int = 32,
     tile_cols: int = 256,
     interpret: bool = False,
+    differentiable: bool = False,
 ):
     """Pallas forward of the Cornell-family radiance pass.
 
     Returns the same RadianceResult as integrator.frame.trace_image (same
     RNG schedule, float-level parity).  Requires scene.quads + scene.spheres
     only (env 'none', quad NEE) — the reference Cornell demo family.
+
+    With ``differentiable=True`` the call carries the fused path-replay
+    custom_vjp: gradients flow to quad/sphere material colors (incl. the
+    light emission) at ~forward cost; other leaves get zero cotangents.
     """
     from bpt_tpu.integrator.radiance import RadianceResult
 
@@ -648,9 +752,13 @@ def trace_image_pallas(
     bn_planes = _blue_noise_planes(jnp.asarray(blue_noise), height, width, jnp.asarray(rand_vec2))
     tile_rows = min(tile_rows, height)
     tile_cols = min(tile_cols, width)
-    outs = _pallas_forward(
-        quads, sph, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret
-    )
+    if differentiable:
+        f = _prb_fn(cfg, height, width, tile_rows, tile_cols, interpret)
+        outs = f(quads, sph, cam, scalars, bn_planes)
+    else:
+        outs = _pallas_forward(
+            quads, sph, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret
+        )
     (cr, cg, cb, onx, ony, onz, ocr, ocg, ocb, oid, osh) = outs
     return RadianceResult(
         color=jnp.stack([cr, cg, cb], axis=-1),

@@ -44,6 +44,47 @@ def test_megakernel_matches_jnp_reference(right_mat):
     assert sh_match > 0.99, f"sharpness parity {sh_match:.4f}"
 
 
+def test_megakernel_path_replay_grads():
+    """Fused path-replay VJP vs central finite differences of the SAME
+    Pallas forward (matched RNG ⇒ FD is noise-free): light emission (linear,
+    FD-exact), a wall albedo (polynomial), and a Beer-Lambert glass sphere."""
+    scene = cornell_scene(right_sphere_mat=TRANSPARENT)
+    camera = cornell_camera()
+    cfg = IntegratorConfig(bounces=3)
+    res = 32
+    wvec = jnp.asarray([1.0, 2.0, 3.0])
+
+    def loss(light_c, wall_c, sph_c, differentiable):
+        quads = scene.quads._replace(
+            color=scene.quads.color.at[5].set(light_c).at[2].set(wall_c)
+        )
+        spheres = scene.spheres._replace(color=scene.spheres.color.at[1].set(sph_c))
+        s = scene._replace(quads=quads, spheres=spheres)
+        r = trace_image_pallas(
+            s, camera, cfg, res, res, 2.0, RV, BN,
+            tile_rows=32, interpret=True, differentiable=differentiable,
+        )
+        return jnp.mean(r.color * wvec)
+
+    lc = jnp.asarray([10.0, 10.0, 10.0])
+    wc = scene.quads.color[2]
+    sc = jnp.asarray([0.4, 0.9, 0.6])
+    g_lc, g_wc, g_sc = jax.grad(loss, argnums=(0, 1, 2))(lc, wc, sc, True)
+
+    h = 1e-2
+    for arg, g, name in ((0, g_lc, "light"), (1, g_wc, "wall"), (2, g_sc, "sphere")):
+        ch = 1 if arg == 1 else 0
+        args = [lc, wc, sc]
+        e = jnp.zeros(3).at[ch].set(h)
+        hi = loss(*(a + e if i == arg else a for i, a in enumerate(args)), False)
+        lo = loss(*(a - e if i == arg else a for i, a in enumerate(args)), False)
+        fd = (hi - lo) / (2 * h)
+        np.testing.assert_allclose(
+            np.asarray(g[ch]), np.asarray(fd), rtol=2e-2, atol=1e-7,
+            err_msg=f"path-replay grad vs FD: {name}",
+        )
+
+
 def test_megakernel_dof_parity():
     scene = cornell_scene()
     from bpt_tpu.camera import Camera
