@@ -115,23 +115,401 @@ def _tent(x):
 
 
 # ---------------------------------------------------------------------------
+# component-form unit-space quadric intersectors
+#
+# Mirrors bpt_tpu.geometry.quadrics (itself mirroring the GLSL includes of
+# /root/reference/js/PathTracingCommon.js:646-1163) with every vec3 as three
+# (TH, W) planes.  Each returns (t, nx, ny, nz); t = INFINITY on miss; the
+# normal is the unnormalized object-space gradient.
+# ---------------------------------------------------------------------------
+
+def _solve_quadratic_c(a, b, c):
+    inv_a = _safe_inv(a)
+    b = b * inv_a
+    c = c * inv_a
+    nhb = -b * 0.5
+    u2 = nhb * nhb - c
+    real = u2 >= 0.0
+    u = jnp.where(real, _safe_sqrt(u2), 0.0)
+    nhb = jnp.where(real, nhb, 0.0)
+    return nhb - u, nhb + u
+
+
+def _pick2(t0, n0, ok0, t1, n1, ok1):
+    t = jnp.where(ok0, t0, jnp.where(ok1, t1, INFINITY))
+    n = tuple(
+        jnp.where(ok0, a, jnp.where(ok1, b, m))
+        for a, b, m in zip(n0, n1, (t * 0.0, t * 0.0 + 1.0, t * 0.0))
+    )
+    return t, n[0], n[1], n[2]
+
+
+def _prio_chain(cands):
+    """GLSL if-chain: first valid candidate wins (reversed-select loop)."""
+    t_out = jnp.full_like(cands[0][0], INFINITY)
+    nx = t_out * 0.0
+    ny = nx + 1.0
+    nz = nx
+    for tc, (cx, cy, cz), ok in reversed(cands):
+        t_out = jnp.where(ok, tc, t_out)
+        nx = jnp.where(ok, cx, nx)
+        ny = jnp.where(ok, cy, ny)
+        nz = jnp.where(ok, cz, nz)
+    return t_out, nx, ny, nz
+
+
+def _hit_at(ro, rd, t):
+    return tuple(o + d * t for o, d in zip(ro, rd))
+
+
+def _q_sphere(ro, rd, k):
+    a = _dot(*rd, *rd)
+    b = 2.0 * _dot(*rd, *ro)
+    c = _dot(*ro, *ro) - 1.0
+    t0, t1 = _solve_quadratic_c(a, b, c)
+    return _pick2(t0, _hit_at(ro, rd, t0), t0 > 0.0, t1, _hit_at(ro, rd, t1), t1 > 0.0)
+
+
+def _cyl_parts(ro, rd, r2_minus=1.0):
+    a = rd[0] * rd[0] + rd[2] * rd[2]
+    b = 2.0 * (rd[0] * ro[0] + rd[2] * ro[2])
+    c = ro[0] * ro[0] + ro[2] * ro[2] - r2_minus
+    return _solve_quadratic_c(a, b, c)
+
+
+def _cyl_n(h):
+    return (2.0 * h[0], h[1] * 0.0, 2.0 * h[2])
+
+
+def _q_cylinder(ro, rd, k):
+    t0, t1 = _cyl_parts(ro, rd)
+    h0 = _hit_at(ro, rd, t0)
+    h1 = _hit_at(ro, rd, t1)
+    ok0 = (t0 > 0.0) & (jnp.abs(h0[1]) <= 1.0)
+    ok1 = (t1 > 0.0) & (jnp.abs(h1[1]) <= 1.0)
+    return _pick2(t0, _cyl_n(h0), ok0, t1, _cyl_n(h1), ok1)
+
+
+def _q_cone(ro, rd, k):
+    k = jnp.clip(k, 0.01, 1.0)
+    j = 1.0 / k
+    h = j * 2.0 - 1.0
+    kq = k * 0.25
+    a = j * rd[0] * rd[0] + j * rd[2] * rd[2] - kq * rd[1] * rd[1]
+    b = 2.0 * (j * rd[0] * ro[0] + j * rd[2] * ro[2] - kq * rd[1] * (ro[1] - h))
+    c = j * ro[0] * ro[0] + j * ro[2] * ro[2] - kq * (ro[1] - h) * (ro[1] - h)
+    t0, t1 = _solve_quadratic_c(a, b, c)
+
+    def nrm(hh):
+        return (2.0 * hh[0] * j, 2.0 * (h - hh[1]) * kq, 2.0 * hh[2] * j)
+
+    h0 = _hit_at(ro, rd, t0)
+    h1 = _hit_at(ro, rd, t1)
+    ok0 = (t0 > 0.0) & (jnp.abs(h0[1]) <= 1.0)
+    ok1 = (t1 > 0.0) & (jnp.abs(h1[1]) <= 1.0)
+    return _pick2(t0, nrm(h0), ok0, t1, nrm(h1), ok1)
+
+
+def _q_paraboloid(ro, rd, k):
+    kp = 0.5
+    a = rd[0] * rd[0] + rd[2] * rd[2]
+    b = 2.0 * (rd[0] * ro[0] + rd[2] * ro[2]) + kp * rd[1]
+    c = ro[0] * ro[0] + ro[2] * ro[2] + kp * (ro[1] - 1.0)
+    t0, t1 = _solve_quadratic_c(a, b, c)
+
+    def nrm(hh):
+        return (2.0 * hh[0], hh[1] * 0.0 + 0.5, 2.0 * hh[2])
+
+    h0 = _hit_at(ro, rd, t0)
+    h1 = _hit_at(ro, rd, t1)
+    ok0 = (t0 > 0.0) & (jnp.abs(h0[1]) <= 1.0)
+    ok1 = (t1 > 0.0) & (jnp.abs(h1[1]) <= 1.0)
+    return _pick2(t0, nrm(h0), ok0, t1, nrm(h1), ok1)
+
+
+def _q_hyperboloid(ro, rd, k):
+    k = (k * k * k * k + 0.0012) * 1000.0
+    j = k - 1.0
+    a = k * rd[0] * rd[0] + k * rd[2] * rd[2] - j * rd[1] * rd[1]
+    b = 2.0 * (k * rd[0] * ro[0] + k * rd[2] * ro[2] - j * rd[1] * ro[1])
+    c = k * ro[0] * ro[0] + k * ro[2] * ro[2] - j * ro[1] * ro[1] - 1.0
+
+    t0, t1 = _solve_quadratic_c(a, b, c)
+
+    def nrm(hh):
+        return (2.0 * hh[0] * k, -2.0 * hh[1] * j, 2.0 * hh[2] * k)
+
+    h0 = _hit_at(ro, rd, t0)
+    h1 = _hit_at(ro, rd, t1)
+    ok0 = (t0 > 0.0) & (jnp.abs(h0[1]) <= 1.0)
+    ok1 = (t1 > 0.0) & (jnp.abs(h1[1]) <= 1.0)
+    return _pick2(t0, nrm(h0), ok0, t1, nrm(h1), ok1)
+
+
+def _q_capsule(ro, rd, k):
+    k = k + 0.25
+    a_s = _dot(*rd, *rd)
+
+    def cap(off):
+        ey = ro[1] - off
+        b = 2.0 * (rd[0] * ro[0] + rd[1] * ey + rd[2] * ro[2])
+        c = ro[0] * ro[0] + ey * ey + ro[2] * ro[2] - 1.0
+        return _solve_quadratic_c(a_s, b, c)
+
+    s0t0, s0t1 = cap(k)
+    s1t0, s1t1 = cap(-k)
+    t0, t1 = _cyl_parts(ro, rd)
+
+    def cap_n(t, off):
+        hh = _hit_at(ro, rd, t)
+        return (2.0 * hh[0], 2.0 * (hh[1] - off), 2.0 * hh[2])
+
+    def hy(t):
+        return ro[1] + rd[1] * t
+
+    cands = [
+        (s0t0, cap_n(s0t0, k), (s0t0 > 0.0) & (hy(s0t0) >= k)),
+        (s1t0, cap_n(s1t0, -k), (s1t0 > 0.0) & (hy(s1t0) <= -k)),
+        (t0, _cyl_n(_hit_at(ro, rd, t0)), (t0 > 0.0) & (jnp.abs(hy(t0)) <= k)),
+        (s0t1, cap_n(s0t1, k), (s0t1 > 0.0) & (hy(s0t1) >= k)),
+        (s1t1, cap_n(s1t1, -k), (s1t1 > 0.0) & (hy(s1t1) <= -k)),
+        (t1, _cyl_n(_hit_at(ro, rd, t1)), (t1 > 0.0) & (jnp.abs(hy(t1)) <= k)),
+    ]
+    return _prio_chain(cands)
+
+
+def _q_flattened_ring(ro, rd, k):
+    k = k - 0.01
+    t0, t1 = _cyl_parts(ro, rd)
+    c0, c1 = _cyl_parts(ro, rd, r2_minus=k)
+    inv_rdy = _safe_inv(rd[1])
+    d0 = -(ro[1] - 1.0) * inv_rdy
+    d1 = -(ro[1] + 1.0) * inv_rdy
+
+    def disk_ok(d):
+        hh = _hit_at(ro, rd, d)
+        x2z2 = hh[0] * hh[0] + hh[2] * hh[2]
+        return (d > 0.0) & (x2z2 <= 1.0) & (x2z2 > k)
+
+    def side_ok(t):
+        return (t > 0.0) & (jnp.abs(ro[1] + rd[1] * t) <= 1.0)
+
+    z = ro[0] * 0.0
+    up = (z, z + 1.0, z)
+    down = (z, z - 1.0, z)
+    cands = [
+        (t0, _cyl_n(_hit_at(ro, rd, t0)), side_ok(t0)),
+        (d0, up, (rd[1] < 0.0) & disk_ok(d0)),
+        (d1, down, (rd[1] > 0.0) & disk_ok(d1)),
+        (c0, _cyl_n(_hit_at(ro, rd, c0)), side_ok(c0)),
+        (c1, _cyl_n(_hit_at(ro, rd, c1)), side_ok(c1)),
+        (t1, _cyl_n(_hit_at(ro, rd, t1)), side_ok(t1)),
+        (d0, up, (rd[1] > 0.0) & disk_ok(d0)),
+        (d1, down, (rd[1] < 0.0) & disk_ok(d1)),
+    ]
+    return _prio_chain(cands)
+
+
+def _q_box(ro, rd, k):
+    inv = tuple(_safe_inv(d) for d in rd)
+    near = tuple((-1.0 - o) * i for o, i in zip(ro, inv))
+    far = tuple((1.0 - o) * i for o, i in zip(ro, inv))
+    tmin = tuple(jnp.minimum(n, f) for n, f in zip(near, far))
+    tmax = tuple(jnp.maximum(n, f) for n, f in zip(near, far))
+    t0 = jnp.maximum(jnp.maximum(tmin[0], tmin[1]), tmin[2])
+    t1 = jnp.minimum(jnp.minimum(tmax[0], tmax[1]), tmax[2])
+
+    def enter_n(i):
+        a, b = (i + 1) % 3, (i + 2) % 3
+        ge = (tmin[i] >= tmin[a]) & (tmin[i] >= tmin[b])
+        return -jnp.sign(rd[i]) * jnp.where(ge, 1.0, 0.0)
+
+    def exit_n(i):
+        a, b = (i + 1) % 3, (i + 2) % 3
+        le = (tmax[i] <= tmax[a]) & (tmax[i] <= tmax[b])
+        return -jnp.sign(rd[i]) * jnp.where(le, 1.0, 0.0)
+
+    ok = t0 < t1
+    ok0 = ok & (t0 > 0.0)
+    ok1 = ok & (t1 > 0.0)
+    return _pick2(
+        t0, (enter_n(0), enter_n(1), enter_n(2)), ok0,
+        t1, (exit_n(0), exit_n(1), exit_n(2)), ok1,
+    )
+
+
+def _q_pyramid_frustum(ro, rd, k):
+    k = jnp.clip(k, 0.01, 1.0)
+    j = 1.0 / k
+    h = j * 2.0 - 1.0
+    kq = k * 0.25
+
+    def side(main, other):
+        a = j * rd[main] * rd[main] - kq * rd[1] * rd[1]
+        b = 2.0 * (j * rd[main] * ro[main] - kq * rd[1] * (ro[1] - h))
+        c = j * ro[main] * ro[main] - kq * (ro[1] - h) * (ro[1] - h)
+        t0, t1 = _solve_quadratic_c(a, b, c)
+
+        def valid(t):
+            hh = _hit_at(ro, rd, t)
+            inside_other = (j * hh[other] * hh[other] - kq * (hh[1] - h) * (hh[1] - h)) <= 0.0
+            return (
+                (t > 0.0)
+                & (jnp.abs(hh[0]) <= 1.0)
+                & (jnp.abs(hh[2]) <= 1.0)
+                & (hh[1] <= 1.0)
+                & inside_other
+            )
+
+        def nrm(t):
+            hh = _hit_at(ro, rd, t)
+            cm = 2.0 * hh[main] * j
+            cy = 2.0 * (hh[1] - h) * -kq
+            z = cy * 0.0
+            return (cm, cy, z) if main == 0 else (z, cy, cm)
+
+        ok0 = valid(t0)
+        ok1 = valid(t1) & ~ok0
+        return _pick2(t0, nrm(t0), ok0, t1, nrm(t1), ok1)
+
+    xt, xnx, xny, xnz = side(0, 2)
+    zt, znx, zny, znz = side(2, 0)
+    use_x = xt <= zt
+    return (
+        jnp.where(use_x, xt, zt),
+        jnp.where(use_x, xnx, znx),
+        jnp.where(use_x, xny, zny),
+        jnp.where(use_x, xnz, znz),
+    )
+
+
+def _plane_y0(ro, rd):
+    return -ro[1] * _safe_inv(rd[1])
+
+
+def _q_disk(ro, rd, k):
+    t = _plane_y0(ro, rd)
+    hh = _hit_at(ro, rd, t)
+    ok = (t > 0.0) & (hh[0] * hh[0] + hh[2] * hh[2] <= 1.0)
+    z = t * 0.0
+    return jnp.where(ok, t, INFINITY), z, z + 1.0, z
+
+
+def _q_rectangle(ro, rd, k):
+    t = _plane_y0(ro, rd)
+    hh = _hit_at(ro, rd, t)
+    ok = (t > 0.0) & (jnp.abs(hh[0]) <= 1.0) & (jnp.abs(hh[2]) <= 1.0)
+    z = t * 0.0
+    return jnp.where(ok, t, INFINITY), z, z + 1.0, z
+
+
+def _map_torus_c(px, py, pz, k):
+    ring = _safe_sqrt(px * px + pz * pz) - (1.0 - k)
+    return _safe_sqrt(ring * ring + py * py) - k
+
+
+def _q_torus(ro, rd, k, max_steps=500):
+    """Analytic bound + frozen-lane SDF march (PathTracingCommon.js:1101-1163);
+    semantics of geometry.quadrics.unit_torus_intersect."""
+    k = 1.0 - jnp.clip(k, 0.01, 0.99)
+    t0, t1 = _cyl_parts(ro, rd)
+    tc = jnp.where(
+        (t0 > 0.0) & (jnp.abs(ro[1] + rd[1] * t0) <= k),
+        t0,
+        jnp.where((t1 > 0.0) & (jnp.abs(ro[1] + rd[1] * t1) <= k), t1, INFINITY),
+    )
+    inv_rdy = _safe_inv(rd[1])
+
+    def disk(off):
+        d = -(ro[1] + off) * inv_rdy
+        hh = _hit_at(ro, rd, d)
+        ok = (d > 0.0) & (hh[0] * hh[0] + hh[2] * hh[2] <= 1.0)
+        return jnp.where(ok, d, INFINITY)
+
+    t_start = jnp.minimum(jnp.minimum(disk(k), disk(-k)), tc)
+    bounded = t_start < INFINITY
+    t_m0 = jnp.where(bounded, t_start, 0.0)
+
+    def body(_, carry):
+        t, d = carry
+        live = (jnp.abs(d) >= 0.01) & (t - t_m0 <= 8.0)
+        d_new = _map_torus_c(ro[0] + rd[0] * t, ro[1] + rd[1] * t, ro[2] + rd[2] * t, k)
+        t = jnp.where(live & (jnp.abs(d_new) >= 0.01), t + d_new, t)
+        d = jnp.where(live, d_new, d)
+        return t, d
+
+    t_m, d_m = jax.lax.fori_loop(
+        0, max_steps, body, (t_m0, jnp.full_like(t_m0, INFINITY))
+    )
+    converged = bounded & (jnp.abs(d_m) < 0.01)
+    px, py, pz = _hit_at(ro, rd, t_m)
+    e = 0.5773 * 0.0002
+    offs = ((e, -e, -e), (-e, -e, e), (-e, e, -e), (e, e, e))
+    nx = px * 0.0
+    ny = nx
+    nz = nx
+    for ox, oy, oz in offs:
+        m = _map_torus_c(px + ox, py + oy, pz + oz, k)
+        nx = nx + ox * m
+        ny = ny + oy * m
+        nz = nz + oz * m
+    return (
+        jnp.where(converged, t_m, INFINITY),
+        jnp.where(converged, nx, 0.0),
+        jnp.where(converged, ny, 1.0),
+        jnp.where(converged, nz, 0.0),
+    )
+
+
+# In the reference's SceneIntersect order
+# (TransformedQuadricGeometry_FragmentShader.js:77-317) — must match
+# bpt_tpu.geometry.quadrics.UNIT_INTERSECTORS.
+_QUADRIC_INTERSECTORS = (
+    _q_sphere,
+    _q_cylinder,
+    _q_cone,
+    _q_paraboloid,
+    _q_hyperboloid,
+    _q_capsule,
+    _q_flattened_ring,
+    _q_box,
+    _q_pyramid_frustum,
+    _q_disk,
+    _q_rectangle,
+    _q_torus,
+)
+
+
+# ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False):
+def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False):
     eps = cfg.eps_intersect
     light_i = cfg.light_index if cfg.light_index >= 0 else n_quads - 1
-    n_obj = n_spheres + n_quads
+    n_obj = n_spheres + n_quadrics + n_quads
 
-    def kernel(
-        cam_ref,      # (16,) SMEM: pos3 right3 up3 fwd3 ulen vlen aperture focus
-        scalars_ref,  # (2,) SMEM: frame_counter, camera_is_moving (0/1)
-        quads_ref,    # (n_quads, 20) SMEM: n3 v0..v3(12) color3 mat pad
-        sph_ref,      # (n_spheres, 21) SMEM: inv 4x4 row-major (16) color3 mat pad
-        bn_ref,       # (4, TH, W) VMEM: blue-noise channels
-        col_r, col_g, col_b, onx, ony, onz, ocr, ocg, ocb, oid, osh,  # outputs (TH, W)
-        *maybe_sg,    # param_grads: one (n_obj*3, TH, W) ref of ∂log-throughput planes
-    ):
+    def kernel(*args):
+        # cam (16,) SMEM: pos3 right3 up3 fwd3 ulen vlen aperture focus
+        # scalars (3,) SMEM: frame_counter, camera_is_moving (0/1), shape_k
+        # quads (n_quads, 20) SMEM: n3 v0..v3(12) color3 mat pad
+        # [spheres] (n_spheres, 21) SMEM: inv 4x4 row-major (16) color3 mat pad
+        # [quadrics] (12, 20) SMEM: inv(16) color3 mat, UNIT_INTERSECTORS order
+        # bn (4, TH, W) VMEM; then 11 (TH, W) outputs;
+        # param_grads appends one (n_obj*3, TH, W) ∂log-throughput output
+        cam_ref, scalars_ref, quads_ref = args[0:3]
+        i_arg = 3
+        sph_ref = qdr_ref = None
+        if n_spheres:
+            sph_ref = args[i_arg]
+            i_arg += 1
+        if n_quadrics:
+            qdr_ref = args[i_arg]
+            i_arg += 1
+        bn_ref = args[i_arg]
+        i_arg += 1
+        (col_r, col_g, col_b, onx, ony, onz, ocr, ocg, ocb, oid, osh) = args[i_arg:i_arg + 11]
+        maybe_sg = args[i_arg + 11:]
         f32 = jnp.float32
         row0 = pl.program_id(0) * tile_rows
         col0 = pl.program_id(1) * tile_cols
@@ -270,6 +648,42 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
                 hc_g = jnp.where(closer, sph_ref[s, 17], hc_g)
                 hc_b = jnp.where(closer, sph_ref[s, 18], hc_b)
                 mat = jnp.where(closer, sph_ref[s, 19], mat)
+                hid = jnp.where(closer, f32(oid_counter), hid)
+                oid_counter += 1
+
+            for qi in range(n_quadrics):
+                # object space via the shape's 4x4 inverse matrix (scalars),
+                # TransformedQuadricGeometry_FragmentShader.js:77-317 order
+                def M(r, c, _q=qi):
+                    return qdr_ref[_q, r * 4 + c]
+
+                ro_o = (
+                    M(0, 0) * rox + M(0, 1) * roy + M(0, 2) * roz + M(0, 3),
+                    M(1, 0) * rox + M(1, 1) * roy + M(1, 2) * roz + M(1, 3),
+                    M(2, 0) * rox + M(2, 1) * roy + M(2, 2) * roz + M(2, 3),
+                )
+                rd_o = (
+                    M(0, 0) * rdx + M(0, 1) * rdy + M(0, 2) * rdz,
+                    M(1, 0) * rdx + M(1, 1) * rdy + M(1, 2) * rdz,
+                    M(2, 0) * rdx + M(2, 1) * rdy + M(2, 2) * rdz,
+                )
+                t_s, qnx, qny, qnz = _QUADRIC_INTERSECTORS[qi](
+                    ro_o, rd_o, scalars_ref[2]
+                )
+                # world normal: transpose(inv3x3) @ n_obj, then normalize
+                wnx = M(0, 0) * qnx + M(1, 0) * qny + M(2, 0) * qnz
+                wny = M(0, 1) * qnx + M(1, 1) * qny + M(2, 1) * qnz
+                wnz = M(0, 2) * qnx + M(1, 2) * qny + M(2, 2) * qnz
+                wnx, wny, wnz = _normalize(wnx, wny, wnz)
+                closer = t_s < t_best
+                t_best = jnp.where(closer, t_s, t_best)
+                nx = jnp.where(closer, wnx, nx)
+                ny = jnp.where(closer, wny, ny)
+                nz = jnp.where(closer, wnz, nz)
+                hc_r = jnp.where(closer, qdr_ref[qi, 16], hc_r)
+                hc_g = jnp.where(closer, qdr_ref[qi, 17], hc_g)
+                hc_b = jnp.where(closer, qdr_ref[qi, 18], hc_b)
+                mat = jnp.where(closer, qdr_ref[qi, 19], mat)
                 hid = jnp.where(closer, f32(oid_counter), hid)
                 oid_counter += 1
 
@@ -585,8 +999,9 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, tile_rows:
 # host-side wrapper
 # ---------------------------------------------------------------------------
 
-def pack_cornell_scene(scene: Scene):
-    """Scene pytree -> (quads (Nq, 20), spheres (Ns, 21)) SMEM-friendly packs."""
+def pack_scene(scene: Scene):
+    """Scene pytree -> SMEM-friendly packs (quads (Nq,20), spheres (Ns,21)
+    or None, quadrics (12,20) or None)."""
     q = scene.quads
     from bpt_tpu.core.vecmath import normalize as _n
 
@@ -596,12 +1011,27 @@ def pack_cornell_scene(scene: Scene):
          jnp.zeros((q.v0.shape[0], 1), jnp.float32)],
         axis=1,
     )
-    s = scene.spheres
-    sph = jnp.concatenate(
-        [s.inv_matrix.reshape(-1, 16), s.color, s.mat_type.astype(jnp.float32)[:, None],
-         jnp.zeros((s.color.shape[0], 1), jnp.float32)],
-        axis=1,
-    )
+    sph = qdr = None
+    if scene.spheres is not None:
+        s = scene.spheres
+        sph = jnp.concatenate(
+            [s.inv_matrix.reshape(-1, 16), s.color, s.mat_type.astype(jnp.float32)[:, None],
+             jnp.zeros((s.color.shape[0], 1), jnp.float32)],
+            axis=1,
+        )
+    if scene.quadrics is not None:
+        d = scene.quadrics
+        qdr = jnp.concatenate(
+            [d.inv_matrix.reshape(-1, 16), d.color,
+             d.mat_type.astype(jnp.float32)[:, None]],
+            axis=1,
+        )
+    return quads, sph, qdr
+
+
+def pack_cornell_scene(scene: Scene):
+    """Back-compat alias: (quads, spheres) packs of the Cornell family."""
+    quads, sph, _ = pack_scene(scene)
     return quads, sph
 
 
@@ -633,11 +1063,13 @@ def _blue_noise_planes(blue_noise, height, width, rand_vec2):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "tile_cols", "interpret", "param_grads"))
-def _pallas_forward(quads, sph, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False, param_grads=False):
+def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False, param_grads=False):
+    quads, sph, qdr = packs
     n_quads = quads.shape[0]
-    n_spheres = sph.shape[0]
-    n_obj = n_quads + n_spheres
-    kernel = _make_kernel(cfg, n_quads, n_spheres, tile_rows, tile_cols, width, height, param_grads)
+    n_spheres = sph.shape[0] if sph is not None else 0
+    n_quadrics = qdr.shape[0] if qdr is not None else 0
+    n_obj = n_quads + n_spheres + n_quadrics
+    kernel = _make_kernel(cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width, height, param_grads)
     grid = (height // tile_rows, width // tile_cols)
     plane = jax.ShapeDtypeStruct((height, width), jnp.float32)
     out_shape = [plane] * 11
@@ -649,23 +1081,26 @@ def _pallas_forward(quads, sph, cam, scalars, bn_planes, cfg, height, width, til
         out_specs.append(
             pl.BlockSpec((n_obj * 3, tile_rows, tile_cols), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
         )
-    grid_spec = pl.GridSpec(
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam (16,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (2,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # quads
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # spheres
-            pl.BlockSpec((4, tile_rows, tile_cols), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
+    inputs = [cam, scalars, quads]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [smem, smem, smem]
+    if n_spheres:
+        inputs.append(sph)
+        in_specs.append(smem)
+    if n_quadrics:
+        inputs.append(qdr)
+        in_specs.append(smem)
+    inputs.append(bn_planes)
+    in_specs.append(
+        pl.BlockSpec((4, tile_rows, tile_cols), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
     )
+    grid_spec = pl.GridSpec(grid=grid, in_specs=in_specs, out_specs=out_specs)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(cam, scalars, quads, sph, bn_planes)
+    )(*inputs)
 
 
 # ---------------------------------------------------------------------------
@@ -684,21 +1119,24 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
               tile_cols=tile_cols, interpret=interpret)
 
     @jax.custom_vjp
-    def f(quads, sph, cam, scalars, bn_planes):
-        return tuple(_pallas_forward(quads, sph, cam, scalars, bn_planes, **kw))
+    def f(packs, cam, scalars, bn_planes):
+        return tuple(_pallas_forward(packs, cam, scalars, bn_planes, **kw))
 
-    def f_fwd(quads, sph, cam, scalars, bn_planes):
+    def f_fwd(packs, cam, scalars, bn_planes):
         *outs, sgrad = _pallas_forward(
-            quads, sph, cam, scalars, bn_planes, param_grads=True, **kw
+            packs, cam, scalars, bn_planes, param_grads=True, **kw
         )
         res = (outs[0], outs[1], outs[2], outs[9], sgrad,
-               jnp.zeros_like(quads), jnp.zeros_like(sph))
+               jax.tree.map(jnp.zeros_like, packs))
         return tuple(outs), res
 
     def f_bwd(res, cot):
-        cr, cg, cb, oid_plane, sgrad, zq, zs = res
-        n_q, n_s = zq.shape[0], zs.shape[0]
-        n_obj = n_q + n_s
+        cr, cg, cb, oid_plane, sgrad, zpacks = res
+        zq, zs, zqd = zpacks
+        n_s = zs.shape[0] if zs is not None else 0
+        n_qd = zqd.shape[0] if zqd is not None else 0
+        n_q = zq.shape[0]
+        n_obj = n_q + n_s + n_qd
         adj_col = jnp.stack(cot[0:3])  # (3, H, W) radiance cotangent
         color = jnp.stack([cr, cg, cb])
         sg = sgrad.reshape(n_obj, 3, height, width)
@@ -707,10 +1145,12 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
         adj_oc = jnp.stack(cot[6:9])
         onehot = (oid_plane[None] == jnp.arange(n_obj, dtype=jnp.float32)[:, None, None])
         gcol = gcol + jnp.einsum("chw,jhw->jc", adj_oc, onehot.astype(jnp.float32))
-        gq = zq.at[:, 15:18].set(gcol[n_s:])
-        gs = zs.at[:, 16:19].set(gcol[:n_s])
-        return (gq, gs, jnp.zeros(16, jnp.float32), jnp.zeros(2, jnp.float32),
-                jnp.zeros((4, height, width), jnp.float32))
+        # object-id order: spheres, quadrics, quads (intersect.py numbering)
+        gq = zq.at[:, 15:18].set(gcol[n_s + n_qd:])
+        gs = zs.at[:, 16:19].set(gcol[:n_s]) if zs is not None else None
+        gqd = zqd.at[:, 16:19].set(gcol[n_s:n_s + n_qd]) if zqd is not None else None
+        return ((gq, gs, gqd), jnp.zeros(16, jnp.float32),
+                jnp.zeros(3, jnp.float32), jnp.zeros((4, height, width), jnp.float32))
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -730,34 +1170,41 @@ def trace_image_pallas(
     interpret: bool = False,
     differentiable: bool = False,
 ):
-    """Pallas forward of the Cornell-family radiance pass.
+    """Pallas forward of the Cornell- and quadric-family radiance pass.
 
     Returns the same RadianceResult as integrator.frame.trace_image (same
-    RNG schedule, float-level parity).  Requires scene.quads + scene.spheres
-    only (env 'none', quad NEE) — the reference Cornell demo family.
+    RNG schedule, float-level parity).  Covers scenes built from quads +
+    matrix-instanced unit spheres + the 12-shape transformed-quadric set
+    (env 'none', quad NEE) — the reference's Cornell and
+    Transformed_Quadric_Geometry demos.
 
     With ``differentiable=True`` the call carries the fused path-replay
-    custom_vjp: gradients flow to quad/sphere material colors (incl. the
-    light emission) at ~forward cost; other leaves get zero cotangents.
+    custom_vjp: gradients flow to quad/sphere/quadric material colors (incl.
+    the light emission) at ~forward cost; other leaves get zero cotangents.
     """
     from bpt_tpu.integrator.radiance import RadianceResult
 
     assert cfg.env == "none" and cfg.nee == "quad" and not cfg.metal_roughness_lobe
-    assert scene.quadrics is None and scene.mesh is None
-    quads, sph = pack_cornell_scene(scene)
+    assert scene.mesh is None
+    packs = pack_scene(scene)
     cam = pack_camera(camera, width, height)
+    shape_k = (
+        jnp.asarray(scene.quadrics.shape_k, jnp.float32)
+        if scene.quadrics is not None
+        else jnp.asarray(0.5, jnp.float32)
+    )
     scalars = jnp.stack(
-        [jnp.asarray(frame_counter, jnp.float32), jnp.asarray(0.0, jnp.float32)]
+        [jnp.asarray(frame_counter, jnp.float32), jnp.asarray(0.0, jnp.float32), shape_k]
     )
     bn_planes = _blue_noise_planes(jnp.asarray(blue_noise), height, width, jnp.asarray(rand_vec2))
     tile_rows = min(tile_rows, height)
     tile_cols = min(tile_cols, width)
     if differentiable:
         f = _prb_fn(cfg, height, width, tile_rows, tile_cols, interpret)
-        outs = f(quads, sph, cam, scalars, bn_planes)
+        outs = f(packs, cam, scalars, bn_planes)
     else:
         outs = _pallas_forward(
-            quads, sph, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret
+            packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret
         )
     (cr, cg, cb, onx, ony, onz, ocr, ocg, ocb, oid, osh) = outs
     return RadianceResult(
