@@ -13,6 +13,7 @@ def main():
     p = base_parser("Physical sky path tracer")
     p.add_argument("--sun-rx", type=float, default=298.0, help="sun rotation X, degrees")
     p.add_argument("--sun-ry", type=float, default=318.0, help="sun rotation Y, degrees")
+    p.add_argument("--pallas", action="store_true", help="use the fused Pallas megakernel")
     args = p.parse_args()
     maybe_force_cpu(args)
 
@@ -23,6 +24,10 @@ def main():
     scene = physical_sky_scene(args.sun_rx, args.sun_ry)
     cfg = IntegratorConfig(bounces=args.bounces, env="sky", nee="sun")
     r = ProgressiveRenderer(scene, cfg, args.size, args.size)
+    if args.pallas:
+        from bpt_tpu.kernels.integration import attach_pallas_path
+
+        attach_pallas_path(r)
     run_and_save(r, sky_camera(), args, "physical_sky")
 
 

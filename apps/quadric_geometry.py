@@ -14,6 +14,7 @@ def main():
     p = base_parser("Transformed quadric geometry path tracer")
     p.add_argument("--shape-k", type=float, default=0.5)
     p.add_argument("--mat", type=int, default=4, help="material for all shapes")
+    p.add_argument("--pallas", action="store_true", help="use the fused Pallas megakernel")
     args = p.parse_args()
     maybe_force_cpu(args)
 
@@ -24,6 +25,10 @@ def main():
     scene = quadric_geometry_scene(shape_k=args.shape_k, all_shapes_mat=args.mat)
     cfg = IntegratorConfig(bounces=args.bounces, transparent_tint=True)
     r = ProgressiveRenderer(scene, cfg, args.size, args.size)
+    if args.pallas:
+        from bpt_tpu.kernels.integration import attach_pallas_path
+
+        attach_pallas_path(r)
     run_and_save(r, quadric_camera(), args, "quadric_geometry")
 
 

@@ -1,5 +1,7 @@
-"""Fused Pallas ray-tile megakernel for the Cornell-family scene
-(quads + matrix-instanced unit spheres, quad-light NEE, env "none").
+"""Fused Pallas ray-tile megakernel for the Cornell-, quadric- and
+physical-sky-family scenes (quads + matrix-instanced unit spheres + the 12
+transformed quadrics; quad-light NEE with env "none", or sun-lobe NEE with
+the Preetham env "sky").
 
 This is the TPU-native analog of the reference's compiled fragment shader
 (BabylonPathTracing_FragmentShader.js + pathtracing_default_main): one
@@ -461,6 +463,83 @@ def _q_torus(ro, rd, k, max_steps=500):
     )
 
 
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _acos01(x):
+    """acos for x in [0, 1]: Abramowitz & Stegun 4.4.45 (|err| < 6.8e-5 rad).
+    Mosaic has no acos lowering; the error is far inside the sky's tolerance."""
+    return _safe_sqrt(1.0 - x) * (
+        1.5707288 + x * (-0.2121144 + x * (0.0742610 - 0.0187293 * x))
+    )
+
+
+def _pow_c(x, p):
+    """x**p for x >= 0 via exp/log (Mosaic has no general pow lowering)."""
+    return jnp.exp(p * jnp.log(jnp.maximum(x, 1e-20)))
+
+
+def _sky_color_c(rdx, rdy, rdz, sunx, suny, sunz, sun_e, gamma, blend):
+    """Preetham sky in component form — Get_Sky_Color
+    (PathTracingCommon.js:430-475), same math as bpt_tpu.sky.get_sky_color.
+
+    rd* are unit-direction planes; sun* are SMEM scalars; sun_e (sun
+    intensity), gamma (sunfade exponent) and blend (horizon mix weight) are
+    precomputed host-side scalars (pure functions of the sun direction).
+    Returns (r, g, b) radiance planes.
+    """
+    import math
+
+    from bpt_tpu import sky as _sky
+
+    import numpy as _np
+
+    mie_const = _np.array([1.8399918514433978e14, 2.7798023919660528e14, 4.0790479543861094e14])
+    total_mie = 0.434 * ((0.2 * _sky.TURBIDITY) * 10e-18) * mie_const
+    rayleigh = _np.array([5.804542996261093e-6, 1.3562911419845635e-5, 3.0265902468824876e-5])
+    rayleigh_at = [float(v) * _sky.RAYLEIGH_COEFFICIENT for v in rayleigh]
+    mie_at = [float(v) * _sky.MIE_COEFFICIENT for v in total_mie]
+    night = (0.0, 0.0003, 0.00075)
+
+    cos_vs = rdx * sunx + rdy * suny + rdz * sunz
+    x_uv = jnp.clip(jnp.maximum(0.0, rdy), 0.0, 1.0)
+    zenith = _acos01(x_uv)
+    # cos(zenith) == x_uv by construction
+    inverse = 1.0 / (
+        x_uv + 0.15 * _pow_c(jnp.maximum(93.885 - zenith * (180.0 / math.pi), 1e-6), -1.253)
+    )
+    r_opt = _sky.RAYLEIGH_ZENITH_LENGTH * inverse
+    m_opt = _sky.MIE_ZENITH_LENGTH * inverse
+
+    r_phase = 3.0 / (16.0 * math.pi) * (1.0 + (cos_vs * 0.5 + 0.5) ** 2)
+    g2 = _sky.MIE_DIRECTIONAL_G * _sky.MIE_DIRECTIONAL_G
+    hg_x = jnp.maximum(0.0, 1.0 - 2.0 * _sky.MIE_DIRECTIONAL_G * cos_vs + g2)
+    hg_den = hg_x * _safe_sqrt(hg_x)
+    m_phase = (1.0 / (4.0 * math.pi)) * ((1.0 - g2) / jnp.maximum(hg_den, 1e-20))
+
+    sundisk = _smoothstep(
+        _sky.SUN_ANGULAR_DIAMETER_COS, _sky.SUN_ANGULAR_DIAMETER_COS + 0.00002, cos_vs
+    )
+
+    out = []
+    for c in range(3):
+        fex = jnp.exp(-(rayleigh_at[c] * r_opt + mie_at[c] * m_opt))
+        ratio = (rayleigh_at[c] * r_phase + mie_at[c] * m_phase) / (
+            rayleigh_at[c] + mie_at[c]
+        )
+        y = jnp.maximum(sun_e * ratio * (1.0 - fex), 0.0)
+        lin = y * _safe_sqrt(y)
+        lin = lin * (
+            (1.0 - blend) + blend * _safe_sqrt(jnp.maximum(sun_e * ratio * fex, 0.0))
+        )
+        l0 = 0.1 * fex + sun_e * 19000.0 * fex * sundisk
+        tex = (lin + l0) * 0.04 + night[c]
+        out.append(_pow_c(tex, gamma))
+    return out[0], out[1], out[2]
+
+
 # In the reference's SceneIntersect order
 # (TransformedQuadricGeometry_FragmentShader.js:77-317) — must match
 # bpt_tpu.geometry.quadrics.UNIT_INTERSECTORS.
@@ -488,10 +567,13 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
     eps = cfg.eps_intersect
     light_i = cfg.light_index if cfg.light_index >= 0 else n_quads - 1
     n_obj = n_spheres + n_quadrics + n_quads
+    env_sky = cfg.env == "sky"
+    has_quad_light = cfg.nee == "quad"
 
     def kernel(*args):
         # cam (16,) SMEM: pos3 right3 up3 fwd3 ulen vlen aperture focus
-        # scalars (3,) SMEM: frame_counter, camera_is_moving (0/1), shape_k
+        # scalars (10,) SMEM: frame_counter, camera_is_moving (0/1), shape_k,
+        #   sun_dir xyz, sun_power, sky sun_e, sky gamma, sky horizon blend
         # quads (n_quads, 20) SMEM: n3 v0..v3(12) color3 mat pad
         # [spheres] (n_spheres, 21) SMEM: inv 4x4 row-major (16) color3 mat pad
         # [quadrics] (12, 20) SMEM: inv(16) color3 mat, UNIT_INTERSECTORS order
@@ -574,23 +656,44 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
         obj_cb = zeros
         obj_id = jnp.full((tile_rows, tile_cols), -INFINITY, f32)
         prev_metal = zeros > 1.0
+        prev_trans = zeros > 1.0
 
-        lv0x = quads_ref[light_i, 3]
-        lv0y = quads_ref[light_i, 4]
-        lv0z = quads_ref[light_i, 5]
-        lv2x = quads_ref[light_i, 9]
-        lv2y = quads_ref[light_i, 10]
-        lv2z = quads_ref[light_i, 11]
-        lv1x = quads_ref[light_i, 6]
-        lv1y = quads_ref[light_i, 7]
-        lv1z = quads_ref[light_i, 8]
-        lv3x = quads_ref[light_i, 12]
-        lv3y = quads_ref[light_i, 13]
-        lv3z = quads_ref[light_i, 14]
-        # light normal (normalized host-side)
-        lnx = quads_ref[light_i, 0]
-        lny = quads_ref[light_i, 1]
-        lnz = quads_ref[light_i, 2]
+        if has_quad_light:
+            lv0x = quads_ref[light_i, 3]
+            lv0y = quads_ref[light_i, 4]
+            lv0z = quads_ref[light_i, 5]
+            lv2x = quads_ref[light_i, 9]
+            lv2y = quads_ref[light_i, 10]
+            lv2z = quads_ref[light_i, 11]
+            lv1x = quads_ref[light_i, 6]
+            lv1y = quads_ref[light_i, 7]
+            lv1z = quads_ref[light_i, 8]
+            lv3x = quads_ref[light_i, 12]
+            lv3y = quads_ref[light_i, 13]
+            lv3z = quads_ref[light_i, 14]
+            # light normal (normalized host-side)
+            lnx = quads_ref[light_i, 0]
+            lny = quads_ref[light_i, 1]
+            lnz = quads_ref[light_i, 2]
+        if env_sky:
+            sunx = scalars_ref[3]
+            suny = scalars_ref[4]
+            sunz = scalars_ref[5]
+            sky_sun_e = scalars_ref[7]
+            sky_gamma = scalars_ref[8]
+            sky_blend = scalars_ref[9]
+            # ONB about the sun (cross-trick, PathTracingCommon.js:527-528)
+            s_up = jnp.abs(suny) < 0.9
+            shx = jnp.where(s_up, 0.0, 1.0)
+            shy = jnp.where(s_up, 1.0, 0.0)
+            sux = shy * sunz
+            suy = -shx * sunz
+            suz = shx * suny - shy * sunx
+            s_inv = 1.0 / jnp.sqrt(jnp.maximum(sux * sux + suy * suy + suz * suz, 1e-20))
+            sux, suy, suz = sux * s_inv, suy * s_inv, suz * s_inv
+            svx = suny * suz - sunz * suy
+            svy = sunz * sux - sunx * suz
+            svz = sunx * suy - suny * sux
 
         # path-replay ∂log-throughput accumulators, one plane per (object, ch)
         sg = [[zeros, zeros, zeros] for _ in range(n_obj)] if param_grads else None
@@ -732,6 +835,33 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             xy = roy + rdy * t_best
             xz = roz + rdz * t_best
 
+            if env_sky:
+                # environment on miss: Preetham sky with the reference's
+                # first-match case chain (PhysicalSkyModel_FragmentShader.js:
+                # 157-193), mirroring integrator.radiance exactly.
+                m_env = alive & miss
+                sky_r, sky_g, sky_b = _sky_color_c(
+                    rdx, rdy, rdz, sunx, suny, sunz, sky_sun_e, sky_gamma, sky_blend
+                )
+                if bounce == 0:
+                    acc_r = jnp.where(m_env, sky_r, acc_r)
+                    acc_g = jnp.where(m_env, sky_g, acc_g)
+                    acc_b = jnp.where(m_env, sky_b, acc_b)
+                    sharp = jnp.where(m_env, 1.01, sharp)
+                else:
+                    cos_vs = rdx * sunx + rdy * suny + rdz * sunz
+                    c2 = (d_cnt == 0) & spec
+                    c3 = samp_l
+                    c4 = (d_cnt == 1) & prev_trans & spec
+                    c5 = d_cnt > 0
+                    sun_clip = jnp.where(cos_vs < 0.99, 1.0, 0.0)
+                    full = c2 | c3 | c4
+                    env_w = jnp.where(full, 1.0, jnp.where(c5, sun_clip, 0.0))
+                    acc_r = jnp.where(m_env, m_r * sky_r * env_w, acc_r)
+                    acc_g = jnp.where(m_env, m_g * sky_g * env_w, acc_g)
+                    acc_b = jnp.where(m_env, m_b * sky_b * env_w, acc_b)
+                    sharp = jnp.where(m_env & c2, 1.01, sharp)
+
             alive = alive & ~miss
             lane = alive
 
@@ -752,14 +882,17 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                 obj_id = jnp.where(am, hid, obj_id)
 
             # ---- light hit ----------------------------------------------
-            is_light = lane & (mat == f32(LIGHT))
-            sharp = jnp.where(is_light & (d_cnt == 0), 1.01, sharp)
-            lit = is_light & (spec | samp_l)
-            acc_r = jnp.where(lit, m_r * hc_r, acc_r)
-            acc_g = jnp.where(lit, m_g * hc_g, acc_g)
-            acc_b = jnp.where(lit, m_b * hc_b, acc_b)
-            alive = alive & ~is_light
-            lane = alive
+            if has_quad_light:
+                is_light = lane & (mat == f32(LIGHT))
+                sharp = jnp.where(is_light & (d_cnt == 0), 1.01, sharp)
+                lit = is_light & (spec | samp_l)
+                acc_r = jnp.where(lit, m_r * hc_r, acc_r)
+                acc_g = jnp.where(lit, m_g * hc_g, acc_g)
+                acc_b = jnp.where(lit, m_b * hc_b, acc_b)
+                alive = alive & ~is_light
+                lane = alive
+            else:
+                lit = zeros > 1.0
 
             # ---- failed shadow ray --------------------------------------
             alive = alive & ~(lane & samp_l)
@@ -789,31 +922,70 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             hemy = hx_ * uy + hy_ * vy + hz_ * nly
             hemz = hx_ * uz + hy_ * vz + hz_ * nlz
             hemx, hemy, hemz = _normalize(hemx, hemy, hemz)
-            # quad light sample (3 draws)
-            qx_, sx, sy = _rng_next(sx, sy)
-            qy_, sx, sy = _rng_next(sx, sy)
-            qz_, sx, sy = _rng_next(sx, sy)
-            rpx = lv0x + (lv2x - lv0x) * jnp.clip(qx_, 0.1, 0.9)
-            rpy = lv0y + (lv2y - lv0y) * jnp.clip(qy_, 0.1, 0.9)
-            rpz = lv0z + (lv2z - lv0z) * jnp.clip(qz_, 0.1, 0.9)
-            dlx = rpx - xx
-            dly = rpy - xy
-            dlz = rpz - xz
-            e1 = _safe_sqrt(
-                (lv1x - lv0x) ** 2 + (lv1y - lv0y) ** 2 + (lv1z - lv0z) ** 2
-            )
-            e2 = _safe_sqrt(
-                (lv3x - lv0x) ** 2 + (lv3y - lv0y) ** 2 + (lv3z - lv0z) ** 2
-            )
-            r2 = e1 * e2
-            d2 = _dot(dlx, dly, dlz, dlx, dly, dlz)
-            cos_a_max = _safe_sqrt(1.0 - jnp.clip(r2 / jnp.maximum(d2, 1e-20), 0.0, 1.0))
-            dlx, dly, dlz = _normalize(dlx, dly, dlz)
-            dot_nl = jnp.maximum(0.0, _dot(nlx, nly, nlz, dlx, dly, dlz))
-            lw = 2.0 * (1.0 - cos_a_max) * jnp.maximum(
-                0.0, -(dlx * lnx + dly * lny + dlz * lnz)
-            ) * dot_nl
-            lw = jnp.clip(lw, 0.0, 1.0)
+            if has_quad_light:
+                # quad light sample (3 draws)
+                qx_, sx, sy = _rng_next(sx, sy)
+                qy_, sx, sy = _rng_next(sx, sy)
+                qz_, sx, sy = _rng_next(sx, sy)
+                rpx = lv0x + (lv2x - lv0x) * jnp.clip(qx_, 0.1, 0.9)
+                rpy = lv0y + (lv2y - lv0y) * jnp.clip(qy_, 0.1, 0.9)
+                rpz = lv0z + (lv2z - lv0z) * jnp.clip(qz_, 0.1, 0.9)
+                dlx = rpx - xx
+                dly = rpy - xy
+                dlz = rpz - xz
+                e1 = _safe_sqrt(
+                    (lv1x - lv0x) ** 2 + (lv1y - lv0y) ** 2 + (lv1z - lv0z) ** 2
+                )
+                e2 = _safe_sqrt(
+                    (lv3x - lv0x) ** 2 + (lv3y - lv0y) ** 2 + (lv3z - lv0z) ** 2
+                )
+                r2 = e1 * e2
+                d2 = _dot(dlx, dly, dlz, dlx, dly, dlz)
+                cos_a_max = _safe_sqrt(1.0 - jnp.clip(r2 / jnp.maximum(d2, 1e-20), 0.0, 1.0))
+                dlx, dly, dlz = _normalize(dlx, dly, dlz)
+                dot_nl = jnp.maximum(0.0, _dot(nlx, nly, nlz, dlx, dly, dlz))
+                lw = 2.0 * (1.0 - cos_a_max) * jnp.maximum(
+                    0.0, -(dlx * lnx + dly * lny + dlz * lnz)
+                ) * dot_nl
+                lw = jnp.clip(lw, 0.0, 1.0)
+            else:
+                # sun NEE: specular lobe about uSunDirection, roughness 0.1,
+                # weight cosθ·0.05 (PhysicalSkyModel_FragmentShader.js:250-256)
+                import math as _math
+
+                lc_, sx, sy = _rng_next(sx, sy)
+                lp_, sx, sy = _rng_next(sx, sy)
+                rough = cfg.sun_lobe_roughness
+                exponent = 7.0 * (1.0 - _math.sqrt(rough))
+                power = 1.0 / (_math.exp(exponent) + 1.0)
+                ct = _pow_c(lc_, power)
+                st = _safe_sqrt(1.0 - ct * ct)
+                phi_l = lp_ * TWO_PI
+                lx = (
+                    sux * (jnp.cos(phi_l) * st)
+                    + svx * (jnp.sin(phi_l) * st)
+                    + sunx * ct
+                )
+                ly = (
+                    suy * (jnp.cos(phi_l) * st)
+                    + svy * (jnp.sin(phi_l) * st)
+                    + suny * ct
+                )
+                lz = (
+                    suz * (jnp.cos(phi_l) * st)
+                    + svz * (jnp.sin(phi_l) * st)
+                    + sunz * ct
+                )
+                dlx = sunx + (lx - sunx) * rough
+                dly = suny + (ly - suny) * rough
+                dlz = sunz + (lz - sunz) * rough
+                dlx, dly, dlz = _normalize(dlx, dly, dlz)
+                cos_w = jnp.maximum(0.0, _dot(dlx, dly, dlz, nlx, nly, nlz))
+                if cfg.sun_weight_mode == "hdri":
+                    sp = scalars_ref[6]
+                    lw = cos_w * (sp * sp * 1.0e-7)
+                else:
+                    lw = cos_w * 0.05
 
             # ---- material branches --------------------------------------
             b_diff = lane & (mat == f32(DIFFUSE))
@@ -951,6 +1123,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             d_cnt = jnp.where(lane, new_dc, d_cnt)
             sharp = jnp.where(lane, new_sharp, sharp)
             prev_metal = (lane & b_metal) | (~lane & prev_metal)
+            prev_trans = (lane & b_trans) | (~lane & prev_trans)
 
             if param_grads:
                 # every factor touching the hit object's color this bounce:
@@ -1150,7 +1323,7 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
         gs = zs.at[:, 16:19].set(gcol[:n_s]) if zs is not None else None
         gqd = zqd.at[:, 16:19].set(gcol[n_s:n_s + n_qd]) if zqd is not None else None
         return ((gq, gs, gqd), jnp.zeros(16, jnp.float32),
-                jnp.zeros(3, jnp.float32), jnp.zeros((4, height, width), jnp.float32))
+                jnp.zeros(10, jnp.float32), jnp.zeros((4, height, width), jnp.float32))
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -1170,13 +1343,15 @@ def trace_image_pallas(
     interpret: bool = False,
     differentiable: bool = False,
 ):
-    """Pallas forward of the Cornell- and quadric-family radiance pass.
+    """Pallas forward of the Cornell-, quadric- and sky-family radiance pass.
 
     Returns the same RadianceResult as integrator.frame.trace_image (same
     RNG schedule, float-level parity).  Covers scenes built from quads +
-    matrix-instanced unit spheres + the 12-shape transformed-quadric set
-    (env 'none', quad NEE) — the reference's Cornell and
-    Transformed_Quadric_Geometry demos.
+    matrix-instanced unit spheres + the 12-shape transformed-quadric set,
+    with env 'none' + quad NEE (the reference's Cornell and
+    Transformed_Quadric_Geometry demos) or env 'sky' + sun NEE (the
+    Physical_Sky_Model demo: Preetham miss shading with the 5-case chain,
+    sun-lobe next-event estimation).
 
     With ``differentiable=True`` the call carries the fused path-replay
     custom_vjp: gradients flow to quad/sphere/quadric material colors (incl.
@@ -1184,7 +1359,8 @@ def trace_image_pallas(
     """
     from bpt_tpu.integrator.radiance import RadianceResult
 
-    assert cfg.env == "none" and cfg.nee == "quad" and not cfg.metal_roughness_lobe
+    assert cfg.env in ("none", "sky") and not cfg.metal_roughness_lobe
+    assert (cfg.env == "none") == (cfg.nee == "quad")
     assert scene.mesh is None
     packs = pack_scene(scene)
     cam = pack_camera(camera, width, height)
@@ -1193,8 +1369,33 @@ def trace_image_pallas(
         if scene.quadrics is not None
         else jnp.asarray(0.5, jnp.float32)
     )
+    if scene.env is not None and scene.env.sun_direction is not None:
+        sun = jnp.asarray(scene.env.sun_direction, jnp.float32)
+        sun_power = jnp.asarray(scene.env.sun_power, jnp.float32)
+    else:
+        sun = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+        sun_power = jnp.asarray(1.0, jnp.float32)
+    # Scalar sky terms (pure functions of the sun direction) precomputed
+    # host-side: Mosaic has no acos lowering for SunIntensity's arccos.
+    from bpt_tpu import sky as _sky
+
+    sun_e = _sky.sun_intensity(sun[1])
+    sunfade = 1.0 - jnp.clip(1.0 - jnp.exp(sun[1] / 450000.0), 0.0, 1.0)
+    sky_gamma = 1.0 / (1.2 + 1.2 * sunfade)
+    sky_blend = jnp.clip((1.0 - sun[1]) ** 5, 0.0, 1.0)
     scalars = jnp.stack(
-        [jnp.asarray(frame_counter, jnp.float32), jnp.asarray(0.0, jnp.float32), shape_k]
+        [
+            jnp.asarray(frame_counter, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+            shape_k,
+            sun[0],
+            sun[1],
+            sun[2],
+            sun_power,
+            jnp.asarray(sun_e, jnp.float32),
+            jnp.asarray(sky_gamma, jnp.float32),
+            jnp.asarray(sky_blend, jnp.float32),
+        ]
     )
     bn_planes = _blue_noise_planes(jnp.asarray(blue_noise), height, width, jnp.asarray(rand_vec2))
     tile_rows = min(tile_rows, height)

@@ -85,6 +85,27 @@ def test_megakernel_path_replay_grads():
         )
 
 
+def test_megakernel_sky_parity():
+    """Pallas env='sky' (Preetham miss + sun-lobe NEE) vs the jnp integrator."""
+    from bpt_tpu.scenes.sky_scene import physical_sky_scene, sky_camera
+    from bpt_tpu.scenes.types import TRANSPARENT as _T
+
+    scene = physical_sky_scene(right_sphere_mat=_T)
+    camera = sky_camera()
+    cfg = IntegratorConfig(bounces=4, env="sky", nee="sun")
+    ref = trace_image(scene, camera, cfg, RES, RES, 2.0, RV, BN)
+    got = trace_image_pallas(
+        scene, camera, cfg, RES, RES, 2.0, RV, BN, tile_rows=32, interpret=True
+    )
+    a = np.asarray(ref.color)
+    b = np.asarray(got.color)
+    close = np.isclose(a, b, rtol=1e-3, atol=1e-4).all(axis=-1)
+    assert close.mean() > 0.995, f"sky color parity {close.mean():.4f}"
+    np.testing.assert_array_equal(np.asarray(ref.object_id), np.asarray(got.object_id))
+    sh_match = (np.asarray(ref.pixel_sharpness) == np.asarray(got.pixel_sharpness)).mean()
+    assert sh_match > 0.99, f"sharpness parity {sh_match:.4f}"
+
+
 def test_megakernel_dof_parity():
     scene = cornell_scene()
     from bpt_tpu.camera import Camera
