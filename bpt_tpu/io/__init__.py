@@ -6,5 +6,5 @@ loadModel()/Prepare_Model_For_PathTracing() pipeline
 load + brightest-texel sun scan (/root/reference/js/HDRI_Environment_Path_Tracing.js:764-827).
 """
 
-from bpt_tpu.io.gltf import load_gltf, GLTFModel
+from bpt_tpu.io.gltf import describe_gltf, load_gltf, GLTFModel
 from bpt_tpu.io.hdr import read_hdr

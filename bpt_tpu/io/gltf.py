@@ -183,7 +183,68 @@ def _decode_image(gltf: dict, buffers, base_dir: str, image_idx: int) -> Optiona
     return arr
 
 
-def load_gltf(path: str, initial_scale: float = 1.0, flip_z: bool = True) -> GLTFModel:
+def describe_gltf(path: str) -> dict:
+    """Introspection for the debugging demo: per-mesh primitive/material map
+    and per-material PBR internals, the analog of Debugging_GLTF_Loading.js's
+    console dump of mesh/material internals
+    (/root/reference/js/Debugging_GLTF_Loading.js:227-255).
+    """
+    base_dir = os.path.dirname(os.path.abspath(path))
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] == b"glTF":
+        gltf, _ = _read_glb(raw)
+    else:
+        gltf = json.loads(raw.decode("utf-8"))
+    meshes = []
+    for i, mesh in enumerate(gltf.get("meshes", [])):
+        prims = []
+        for prim in mesh.get("primitives", []):
+            prims.append(
+                {
+                    "material": prim.get("material"),
+                    "attributes": sorted(prim.get("attributes", {})),
+                    "indexed": "indices" in prim,
+                    "mode": prim.get("mode", 4),
+                }
+            )
+        meshes.append({"name": mesh.get("name", f"mesh{i}"), "primitives": prims})
+    materials = []
+    for i, mat in enumerate(gltf.get("materials", [])):
+        pbr = mat.get("pbrMetallicRoughness", {})
+        materials.append(
+            {
+                "name": mat.get("name", f"material{i}"),
+                "baseColorFactor": pbr.get("baseColorFactor"),
+                "baseColorTexture": pbr.get("baseColorTexture", {}).get("index"),
+                "metallicFactor": pbr.get("metallicFactor"),
+                "roughnessFactor": pbr.get("roughnessFactor"),
+                "metallicRoughnessTexture": pbr.get("metallicRoughnessTexture", {}).get("index"),
+                "normalTexture": mat.get("normalTexture", {}).get("index"),
+                "emissiveTexture": mat.get("emissiveTexture", {}).get("index"),
+                "doubleSided": mat.get("doubleSided", False),
+                "alphaMode": mat.get("alphaMode", "OPAQUE"),
+            }
+        )
+    return {
+        "path": path,
+        "base_dir": base_dir,
+        "meshes": meshes,
+        "materials": materials,
+        "images": [
+            (uri[:40] + f"...<{len(uri)} chars>") if len(uri) > 60 else uri
+            for uri in (img.get("uri", "<embedded>") for img in gltf.get("images", []))
+        ],
+        "nodes": len(gltf.get("nodes", [])),
+    }
+
+
+def load_gltf(
+    path: str,
+    initial_scale: float = 1.0,
+    flip_z: bool = True,
+    material_index: int | None = None,
+) -> GLTFModel:
     """Read a .gltf/.glb file into a merged, de-indexed triangle soup.
 
     `initial_scale` is the per-model magnification the reference applies
@@ -191,6 +252,12 @@ def load_gltf(path: str, initial_scale: float = 1.0, flip_z: bool = True) -> GLT
     `flip_z=True` performs the RH→LH conversion (negate z of positions and
     normals, :346-365), which also flips triangle winding — matching the
     reference, which leaves vertex order unchanged.
+
+    `material_index`, when set, takes the PBR texture set from that material
+    and force-shares it across the whole merged model — the debugging demo's
+    behavior of applying one mesh's albedo to everything
+    (Debugging_GLTF_Loading.js:227-255).  Default: first material with a
+    base-color texture, as in the main glTF demo.
     """
     base_dir = os.path.dirname(os.path.abspath(path))
     with open(path, "rb") as f:
@@ -284,7 +351,12 @@ def load_gltf(path: str, initial_scale: float = 1.0, flip_z: bool = True) -> GLT
         source = gltf["textures"][tex_idx].get("source")
         return None if source is None else _decode_image(gltf, buffers, base_dir, source)
 
-    for mat in gltf.get("materials", []):
+    all_materials = gltf.get("materials", [])
+    if material_index is not None:
+        candidates = [all_materials[material_index]]
+    else:
+        candidates = all_materials
+    for mat in candidates:
         pbr = mat.get("pbrMetallicRoughness", {})
         if "baseColorTexture" in pbr and albedo is None:
             albedo = tex_image(pbr["baseColorTexture"]["index"])

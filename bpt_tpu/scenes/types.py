@@ -12,7 +12,10 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-# Material type ids (PathTracingCommon.js:330-350).
+# Material type ids (PathTracingCommon.js:330-350).  The reference defines
+# the full enum but its shipped demos exercise only 0-4 and 10; the remaining
+# ids are declared for enum parity and, as in the reference's demo shaders,
+# have no dispatch branch of their own.
 SPOT_LIGHT = -2
 POINT_LIGHT = -1
 LIGHT = 0
@@ -20,7 +23,20 @@ DIFFUSE = 1
 TRANSPARENT = 2
 METAL = 3
 CLEARCOAT_DIFFUSE = 4
+CARCOAT = 5
+TRANSLUCENT = 6
+SPECSUB = 7
+CHECK = 8
+WATER = 9
 PBR_MATERIAL = 10
+WOOD = 11
+SEAFLOOR = 12
+TERRAIN = 13
+CLOTH = 14
+LIGHTWOOD = 15
+DARKWOOD = 16
+PAINTING = 17
+METALCOAT = 18
 
 # Environment kinds (static config, not traced).
 ENV_NONE = "none"

@@ -108,3 +108,29 @@ def test_duck_textured_pbr_path():
     assert model.triangle_count > 1000
     assert model.albedo is not None and model.albedo.ndim == 3
     assert (model.uv0 >= -1).all()
+
+
+@needs_models
+def test_describe_gltf_and_forced_material_index():
+    """The debugging-demo loader surface: asset introspection + force-sharing
+    one material's texture set across the merged model
+    (Debugging_GLTF_Loading.js:227-255)."""
+    from bpt_tpu.io import describe_gltf, load_gltf
+
+    path = os.path.join(MODELS, "testBookCase.gltf")
+    info = describe_gltf(path)
+    assert len(info["meshes"]) == 150 and len(info["materials"]) == 150
+    assert all(p["mode"] == 4 for m in info["meshes"] for p in m["primitives"])
+
+    # material[9] has no baseColorTexture -> untextured model when forced.
+    assert info["materials"][9]["baseColorTexture"] is None
+    untextured = load_gltf(path, material_index=9)
+    assert untextured.albedo is None
+    # material[2] uses image 1; the default pick (first textured) uses image 0.
+    forced = load_gltf(path, material_index=2)
+    default = load_gltf(path)
+    assert forced.albedo is not None and default.albedo is not None
+    assert forced.albedo.shape != default.albedo.shape or not np.array_equal(
+        forced.albedo, default.albedo
+    )
+    assert forced.triangle_count == default.triangle_count == 4304
