@@ -1,0 +1,152 @@
+"""Clusterized preorder BVH layout for the Pallas packet-traversal kernel.
+
+The reference walks a binary BVH per pixel with a 28-deep stack of
+(nodeID, boxT) pairs (/root/reference/js/GLTFModelPathTracing_FragmentShader.js:95,206-298).
+Per-lane divergent stacks require per-lane gathers of node data — the one
+memory shape the TPU vector unit cannot do (Mosaic: gathers only within a
+single vreg).  So the TPU-native layout inverts the loop: the *packet* (a
+tile of rays) walks ONE node per step, fetched by a scalar index, and every
+test is a vector op over the whole tile.  Subtree skipping then needs no
+stack at all: because the builder's flat layout is already preorder
+(left child = parent + 1, BVH_Fast_Builder.js:389-404), "skip this subtree"
+is just "jump to the node after it" — the classic escape-link / threaded
+BVH.  Leaves are widened to `leaf_size` triangles so the scalar-fetch
+overhead amortizes over a vectorized Möller-Trumbore burst.
+
+This module is the host-side (numpy) packing pass: collapse the binary tree
+into clustered leaves, compute escape links, reorder triangles into
+contiguous leaf ranges, and pack node/triangle records into the row layouts
+the kernel reads with `pl.ds` scalar indexing.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from bpt_tpu.accel.builder import BuiltBVH
+
+
+class ClusteredBVH(NamedTuple):
+    """Preorder escape-linked BVH with multi-triangle leaves, padded for the
+    kernel's row layouts."""
+
+    nodes_f: np.ndarray  # (Np, 8) f32: min.xyz, max.xyz, 0, 0
+    nodes_i: np.ndarray  # (Np, 4) i32: escape, tri_start, tri_count, 0
+    tris: np.ndarray  # (Tp, 32) f32: p0 p1 p2 n0 n1 n2 (9+9) uv0 uv1 uv2 (6), pad
+    tri_order: np.ndarray  # (T,) i32: reordered slot -> original triangle id
+    n_nodes: int  # real (unpadded) node count
+    n_tris: int  # real (unpadded, reordered) triangle count
+
+
+def clusterize_bvh(bvh: BuiltBVH, leaf_size: int = 64) -> tuple:
+    """Collapse a flat binary BVH (1 tri/leaf) into a preorder escape-linked
+    tree whose leaves hold up to `leaf_size` triangles.
+
+    Returns (node_min (N,3) f32, node_max (N,3) f32,
+             rec (N,3) i32 rows [escape, tri_start, tri_count],
+             tri_order (T,) i32).
+    """
+    node_tri = np.asarray(bvh.node_tri)
+    node_right = np.asarray(bvh.node_right)
+    node_min = np.asarray(bvh.node_min)
+    node_max = np.asarray(bvh.node_max)
+    n = len(node_tri)
+
+    # Subtree triangle counts: the array is preorder (left = i + 1), so a
+    # reverse scan sees both children before the parent.
+    count = np.zeros(n, np.int64)
+    for i in range(n - 1, -1, -1):
+        if node_tri[i] >= 0:
+            count[i] = 1
+        else:
+            count[i] = count[i + 1] + count[node_right[i]]
+
+    out_min, out_max, rec = [], [], []
+    tri_order: list = []
+
+    def leaves_of(i: int) -> list:
+        """Preorder triangle ids of subtree i (iterative)."""
+        ids, st = [], [i]
+        while st:
+            j = st.pop()
+            if node_tri[j] >= 0:
+                ids.append(int(node_tri[j]))
+            else:
+                st.append(int(node_right[j]))  # popped second
+                st.append(j + 1)  # popped first -> left-first order
+        return ids
+
+    # Iterative preorder emit with escape patching: stack entries are either
+    # ("visit", src_node) or ("close", out_index) — a close patches the
+    # node's escape to the output length once its whole subtree is emitted.
+    stack = [("visit", 0)]
+    while stack:
+        op, x = stack.pop()
+        if op == "close":
+            rec[x][0] = len(rec)
+            continue
+        my = len(rec)
+        out_min.append(node_min[x])
+        out_max.append(node_max[x])
+        rec.append([0, 0, 0])
+        stack.append(("close", my))
+        if node_tri[x] >= 0 or count[x] <= leaf_size:
+            ids = leaves_of(x)
+            rec[my][1] = len(tri_order)
+            rec[my][2] = len(ids)
+            tri_order.extend(ids)
+        else:
+            # preorder: left subtree first -> push right first.
+            stack.append(("visit", int(node_right[x])))
+            stack.append(("visit", x + 1))
+
+    return (
+        np.asarray(out_min, np.float32),
+        np.asarray(out_max, np.float32),
+        np.asarray(rec, np.int32),
+        np.asarray(tri_order, np.int32),
+    )
+
+
+def pack_clustered(
+    bvh: BuiltBVH,
+    p0: np.ndarray,
+    p1: np.ndarray,
+    p2: np.ndarray,
+    n0: np.ndarray,
+    n1: np.ndarray,
+    n2: np.ndarray,
+    uv0: np.ndarray,
+    uv1: np.ndarray,
+    uv2: np.ndarray,
+    leaf_size: int = 64,
+) -> ClusteredBVH:
+    """Full packing: clusterize + reorder triangle records into the kernel's
+    (T, 32) row layout, pad row counts to sublane multiples."""
+    node_min, node_max, rec, tri_order = clusterize_bvh(bvh, leaf_size)
+    n_nodes = len(rec)
+    n_tris = len(tri_order)
+
+    npad = -n_nodes % 8
+    nodes_f = np.zeros((n_nodes + npad, 8), np.float32)
+    nodes_f[:n_nodes, 0:3] = node_min
+    nodes_f[:n_nodes, 3:6] = node_max
+    nodes_i = np.zeros((n_nodes + npad, 4), np.int32)
+    nodes_i[:n_nodes, :3] = rec
+    nodes_i[n_nodes:, 0] = n_nodes  # escape past the end, never visited
+
+    tpad = -n_tris % 8
+    tris = np.zeros((n_tris + tpad, 32), np.float32)
+    o = tri_order
+    tris[:n_tris, 0:3] = p0[o]
+    tris[:n_tris, 3:6] = p1[o]
+    tris[:n_tris, 6:9] = p2[o]
+    tris[:n_tris, 9:12] = n0[o]
+    tris[:n_tris, 12:15] = n1[o]
+    tris[:n_tris, 15:18] = n2[o]
+    tris[:n_tris, 18:20] = uv0[o]
+    tris[:n_tris, 20:22] = uv1[o]
+    tris[:n_tris, 22:24] = uv2[o]
+    return ClusteredBVH(nodes_f, nodes_i, tris, tri_order, n_nodes, n_tris)

@@ -168,6 +168,17 @@ def traverse_bvh(
     return t_best, tri_best, u_best, v_best
 
 
+def _traversal_mode() -> str:
+    """How to walk the BVH: 'pallas' (packet kernel, TPU), 'interpret'
+    (packet kernel in interpreter mode, any backend), 'xla' (per-lane masked
+    wavefront), or 'auto' (pallas on TPU when the mesh carries a clusterized
+    pack and the wavefront is blockable, else xla).  Override with the
+    BPT_MESH_TRAVERSAL env var."""
+    import os
+
+    return os.environ.get("BPT_MESH_TRAVERSAL", "auto")
+
+
 def intersect_mesh_bvh(mesh: TriangleMesh, ro: jnp.ndarray, rd: jnp.ndarray, best: Hit, id_base: int) -> Hit:
     """Model-space BVH walk + deferred attribute fetch, merged into `best`.
 
@@ -178,6 +189,9 @@ def intersect_mesh_bvh(mesh: TriangleMesh, ro: jnp.ndarray, rd: jnp.ndarray, bes
     (:334 — slots 6-7 are reserved-but-unused in the reference too);
     material type is PBR_MATERIAL when an albedo texture exists, else the
     model's uniform material (:336-343).
+
+    Dispatches to the Pallas packet-traversal kernel when available (see
+    `_traversal_mode`); both walks return the same closest hit.
     """
     ro_o = transform_point(mesh.inv_matrix, ro)
     rd_o = transform_dir(mesh.inv_matrix, rd)  # NOT normalized (t commensurate)
@@ -185,6 +199,19 @@ def intersect_mesh_bvh(mesh: TriangleMesh, ro: jnp.ndarray, rd: jnp.ndarray, bes
     has_albedo = mesh.albedo is not None
     # Double-sided iff untextured TRANSPARENT (GLTF...js:284-287).
     cull = jnp.logical_not((~jnp.asarray(has_albedo)) & (mesh.mat_type == TRANSPARENT))
+
+    mode = _traversal_mode()
+    from bpt_tpu.kernels.traverse import blockable
+
+    can_packet = mesh.pk_nodes_f is not None and blockable(ro.shape[:-1])
+    if mode == "auto":
+        import jax
+
+        mode = "pallas" if (can_packet and jax.default_backend() != "cpu") else "xla"
+    if mode in ("pallas", "interpret") and can_packet:
+        return _intersect_mesh_packet(
+            mesh, ro_o, rd_o, cull, best, id_base, interpret=(mode == "interpret")
+        )
 
     stack_depth = MAX_STACK_DEPTH
     t, tri, u, v = traverse_bvh(
@@ -225,6 +252,40 @@ def intersect_mesh_bvh(mesh: TriangleMesh, ro: jnp.ndarray, rd: jnp.ndarray, bes
         t,
         n_world,
         jnp.ones(ro.shape, ro.dtype),  # hitColor = vec3(1)
+        jnp.broadcast_to(mat, t.shape),
+        jnp.full_like(t, float(id_base)),
+        uv=uv,
+    )
+
+
+def _intersect_mesh_packet(mesh, ro_o, rd_o, cull, best: Hit, id_base: int, interpret: bool) -> Hit:
+    """Packet-kernel variant of the model section: the kernel already
+    interpolated the smooth normal and UV (the deferred attribute fetch),
+    so only the world-space normal transform and material pick remain."""
+    from bpt_tpu.kernels.traverse import packet_closest_hit
+
+    pack = (mesh.pk_nodes_f, mesh.pk_nodes_i, mesh.pk_tris)
+    t, n_obj, us, vs, tri = packet_closest_hit(
+        ro_o,
+        rd_o,
+        cull.astype(jnp.float32),
+        pack,
+        int(mesh.pk_nodes_f.shape[0]),
+        interpret,
+    )
+    hit_ok = tri >= 0
+    n_world = normal_to_world(mesh.inv_matrix, normalize(n_obj))
+    uv = jnp.stack([us, vs], axis=-1)
+    has_albedo = mesh.albedo is not None
+    mat = jnp.where(
+        jnp.asarray(has_albedo), jnp.int32(PBR_MATERIAL), mesh.mat_type.astype(jnp.int32)
+    )
+    t = jnp.where(hit_ok, t, INFINITY)
+    return _merge(
+        best,
+        t,
+        n_world,
+        jnp.ones(ro_o.shape, ro_o.dtype),  # hitColor = vec3(1)
         jnp.broadcast_to(mat, t.shape),
         jnp.full_like(t, float(id_base)),
         uv=uv,

@@ -62,10 +62,21 @@ def mesh_from_model(
     bvh = build_bvh(mn, mx)
     m = trs_matrix(translation=translation, rotation=rotation, scale=scale)
 
+    from bpt_tpu.accel.cluster import pack_clustered
+
+    pk = pack_clustered(
+        bvh, model.p0, model.p1, model.p2, model.n0, model.n1, model.n2,
+        model.uv0, model.uv1, model.uv2,
+    )
+
     def dev(a):
         return None if a is None else jnp.asarray(a)
 
     return TriangleMesh(
+        pk_nodes_f=jnp.asarray(pk.nodes_f),
+        pk_nodes_i=jnp.asarray(pk.nodes_i),
+        pk_tris=jnp.asarray(pk.tris),
+        pk_order=jnp.asarray(pk.tri_order),
         p0=jnp.asarray(model.p0),
         p1=jnp.asarray(model.p1),
         p2=jnp.asarray(model.p2),

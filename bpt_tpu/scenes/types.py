@@ -119,6 +119,13 @@ class TriangleMesh(NamedTuple):
     normal_map: Optional[jnp.ndarray] = None
     metallic_roughness: Optional[jnp.ndarray] = None
     emissive: Optional[jnp.ndarray] = None
+    # Clusterized preorder escape-linked BVH for the Pallas packet-traversal
+    # kernel (bpt_tpu.accel.cluster / bpt_tpu.kernels.traverse); None falls
+    # back to the XLA wavefront walk.
+    pk_nodes_f: Optional[jnp.ndarray] = None  # (Np, 8) f32
+    pk_nodes_i: Optional[jnp.ndarray] = None  # (Np, 4) i32
+    pk_tris: Optional[jnp.ndarray] = None  # (Tp, 32) f32 reordered records
+    pk_order: Optional[jnp.ndarray] = None  # (T,) i32 reordered -> original id
 
 
 class Environment(NamedTuple):
