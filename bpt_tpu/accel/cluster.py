@@ -133,9 +133,15 @@ def pack_clustered(
     nodes_f = np.zeros((n_nodes + npad, 8), np.float32)
     nodes_f[:n_nodes, 0:3] = node_min
     nodes_f[:n_nodes, 3:6] = node_max
+    # Padding rows: escape past the PADDED end.  An escape equal to the
+    # row's own index (the old `= n_nodes` when npad > 0) self-loops: the
+    # kernel's while_loop only stops at i >= padded length, so a real escape
+    # of n_nodes landing on a pad row span forever — a TPU watchdog kill.
+    # Pad rows stay inner (cnt = 0) with a degenerate zero AABB: a spurious
+    # hit just steps i+1 through the (< 8) pad rows to termination.
     nodes_i = np.zeros((n_nodes + npad, 4), np.int32)
     nodes_i[:n_nodes, :3] = rec
-    nodes_i[n_nodes:, 0] = n_nodes  # escape past the end, never visited
+    nodes_i[n_nodes:, 0] = n_nodes + npad
 
     tpad = -n_tris % 8
     tris = np.zeros((n_tris + tpad, 32), np.float32)

@@ -134,3 +134,47 @@ def test_describe_gltf_and_forced_material_index():
         forced.albedo, default.albedo
     )
     assert forced.triangle_count == default.triangle_count == 4304
+
+
+def test_packet_traversal_matches_wavefront_with_node_padding():
+    """Packet kernel (interpret mode) == XLA wavefront walk, on a tree whose
+    clusterized node count is NOT a multiple of 8 — regression for the pad
+    rows' self-looping escape link (a real-TPU watchdog kill)."""
+    from bpt_tpu.accel.cluster import pack_clustered
+    from bpt_tpu.kernels.traverse import packet_closest_hit
+
+    found = None
+    for n in (96, 128, 160, 224, 256):
+        p0, p1, p2 = random_soup(n, seed=11)
+        mn, mx, _ = triangle_aabbs(p0, p1, p2)
+        bvh = build_bvh(mn, mx)
+        z2 = np.zeros((n, 2), np.float32)
+        z3 = np.zeros((n, 3), np.float32)
+        pk = pack_clustered(bvh, p0, p1, p2, z3, z3, z3, z2, z2, z2, leaf_size=4)
+        if pk.n_nodes % 8 != 0:
+            found = (p0, p1, p2, bvh, pk)
+            break
+    assert found is not None, "no soup produced a non-multiple-of-8 node count"
+    p0, p1, p2, bvh, pk = found
+    assert (np.asarray(pk.nodes_i[pk.n_nodes:, 0]) == pk.nodes_f.shape[0]).all()
+
+    rng = np.random.default_rng(5)
+    h = w = 32  # one packet block
+    ro = jnp.asarray(rng.uniform(-20, 20, (h, w, 3)), jnp.float32)
+    rd = normalize(jnp.asarray(rng.normal(size=(h, w, 3)), jnp.float32))
+    t_pk, n_pk, u_pk, v_pk, tri_pk = packet_closest_hit(
+        ro, rd, jnp.asarray(0.0), (jnp.asarray(pk.nodes_f), jnp.asarray(pk.nodes_i), jnp.asarray(pk.tris)),
+        int(pk.nodes_f.shape[0]), True,
+    )
+    t_wf, tri_wf, _, _ = traverse_bvh(
+        jnp.asarray(bvh.node_tri), jnp.asarray(bvh.node_right),
+        jnp.asarray(bvh.node_min), jnp.asarray(bvh.node_max),
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2),
+        ro, rd, jnp.asarray(False), 28,
+    )
+    hit_pk = np.asarray(tri_pk) >= 0
+    hit_wf = np.asarray(tri_wf) >= 0
+    np.testing.assert_array_equal(hit_pk, hit_wf)
+    np.testing.assert_allclose(
+        np.asarray(t_pk)[hit_pk], np.asarray(t_wf)[hit_wf], rtol=1e-5
+    )
