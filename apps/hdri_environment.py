@@ -29,6 +29,8 @@ def synthetic_hdr(h=256, w=512, sun_uv=(0.7, 0.3), sun_power=40.0):
 
 def main():
     p = base_parser("HDRI environment path tracer")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas megakernel (untextured models)")
     p.add_argument("--model", default="duck")
     p.add_argument("--models-dir", default="/root/reference/models")
     p.add_argument("--hdr", default=None, help="path to an equirect .hdr")
@@ -54,6 +56,12 @@ def main():
         metal_roughness_lobe=model.albedo is not None,
     )
     r = ProgressiveRenderer(scene, cfg, args.size, args.size)
+    if args.pallas:
+        if model.albedo is not None:
+            raise SystemExit("--pallas covers untextured models (try teapot/bunny)")
+        from bpt_tpu.kernels.integration import attach_pallas_path
+
+        attach_pallas_path(r)
     run_and_save(r, hdri_camera(), args, f"hdri_{args.model}")
 
 

@@ -28,6 +28,26 @@ import numpy as np
 from bpt_tpu.accel.builder import BuiltBVH
 
 
+class DenseClusteredBVH(NamedTuple):
+    """Lane-dense variant of ClusteredBVH for the fused megakernel's in-loop
+    walk (bpt_tpu.kernels.megakernel).
+
+    The (T, 32) row layout of ClusteredBVH wastes 3/4 of each 128-lane VMEM
+    row; here every row packs FOUR 32-float triangle records, and each leaf's
+    triangle range is padded (with degenerate all-zero records, which
+    Möller-Trumbore rejects via t <= 0) to a whole number of rows, so the
+    kernel's leaf burst walks rows with *static* lane offsets 0/32/64/96 —
+    no dynamic lane slicing anywhere.
+    """
+
+    nodes_f: np.ndarray  # (Np, 8) f32: min.xyz, max.xyz, 0, 0
+    nodes_i: np.ndarray  # (Np, 4) i32: escape, row_start, row_count, 0
+    tris: np.ndarray  # (Rp, 128) f32: 4 x [p0 p1 p2 n0 n1 n2 uv0 uv1 uv2 pad8]
+    tri_order: np.ndarray  # (R*4,) i32: packed slot -> original tri id, -1 pad
+    n_nodes: int
+    n_rows: int
+
+
 class ClusteredBVH(NamedTuple):
     """Preorder escape-linked BVH with multi-triangle leaves, padded for the
     kernel's row layouts."""
@@ -156,3 +176,63 @@ def pack_clustered(
     tris[:n_tris, 20:22] = uv1[o]
     tris[:n_tris, 22:24] = uv2[o]
     return ClusteredBVH(nodes_f, nodes_i, tris, tri_order, n_nodes, n_tris)
+
+
+def pack_clustered_dense(
+    bvh: BuiltBVH,
+    p0: np.ndarray,
+    p1: np.ndarray,
+    p2: np.ndarray,
+    n0: np.ndarray,
+    n1: np.ndarray,
+    n2: np.ndarray,
+    uv0: np.ndarray,
+    uv1: np.ndarray,
+    uv2: np.ndarray,
+    leaf_size: int = 16,
+) -> DenseClusteredBVH:
+    """Clusterize + pack into the fused megakernel's 4-triangles-per-row
+    layout (see DenseClusteredBVH)."""
+    node_min, node_max, rec, tri_order = clusterize_bvh(bvh, leaf_size)
+    n_nodes = len(rec)
+
+    # Re-emit each leaf's triangle range padded to a multiple of 4 slots.
+    slots: list = []
+    rec_d = np.zeros((n_nodes, 3), np.int64)
+    for i in range(n_nodes):
+        esc, s, c = rec[i]
+        rec_d[i, 0] = esc
+        if c > 0:
+            rec_d[i, 1] = len(slots) // 4  # row_start
+            rec_d[i, 2] = (c + 3) // 4  # row_count
+            slots.extend(int(t) for t in tri_order[s:s + c])
+            slots.extend([-1] * (-c % 4))
+    n_rows = len(slots) // 4
+    rpad = -n_rows % 8
+    order = np.asarray(slots + [-1] * (rpad * 4), np.int32)
+
+    rows = np.zeros((n_rows + rpad, 128), np.float32)
+    rec32 = np.zeros((len(order), 32), np.float32)
+    real = order >= 0
+    o = order[real]
+    rec32[real, 0:3] = p0[o]
+    rec32[real, 3:6] = p1[o]
+    rec32[real, 6:9] = p2[o]
+    rec32[real, 9:12] = n0[o]
+    rec32[real, 12:15] = n1[o]
+    rec32[real, 15:18] = n2[o]
+    rec32[real, 18:20] = uv0[o]
+    rec32[real, 20:22] = uv1[o]
+    rec32[real, 22:24] = uv2[o]
+    rows[:] = rec32.reshape(n_rows + rpad, 128)
+
+    npad = -n_nodes % 8
+    nodes_f = np.zeros((n_nodes + npad, 8), np.float32)
+    nodes_f[:n_nodes, 0:3] = node_min
+    nodes_f[:n_nodes, 3:6] = node_max
+    nodes_i = np.zeros((n_nodes + npad, 4), np.int32)
+    nodes_i[:n_nodes, :3] = rec_d
+    # Pad rows: zero AABB (a spurious hit just steps i+1 to termination;
+    # escaping to the row's own index would self-loop — see pack_clustered).
+    nodes_i[n_nodes:, 0] = n_nodes + npad
+    return DenseClusteredBVH(nodes_f, nodes_i, rows, order, n_nodes, n_rows)

@@ -463,6 +463,131 @@ def _q_torus(ro, rd, k, max_steps=500):
     )
 
 
+def _safe_inv_slab(x):
+    """1/x for the AABB slab test: zeros map to a huge finite value whose
+    sign is immaterial under the min/max slab ordering."""
+    return jnp.where(jnp.abs(x) < 1e-20, 1e20, 1.0 / jnp.where(x == 0.0, 1.0, x))
+
+
+def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, nodes_i_ref, tris_ref, n_nodes_p, t_init, active=None):
+    """Escape-linked packet walk of the dense clustered BVH for ONE
+    sub-packet of rays — the fused-kernel analog of the reference's 28-deep
+    per-pixel stack traversal (GLTFModelPathTracing_FragmentShader.js:206-298)
+    recast for the VPU: the whole sub-packet shares a single scalar node
+    cursor, every slab test / Möller-Trumbore burst is a full-width vector
+    op, and subtrees no lane enters are skipped through the escape link
+    (see bpt_tpu.accel.cluster).
+
+    ro_o/rd_o: component tuples of (rows, cols) object-space planes (rd
+    unnormalized so t is world-commensurate).  cull: traced bool scalar.
+    t_init: current closest-hit plane — subtrees and triangles beyond it are
+    pruned, and only strictly closer mesh hits are reported.  active (bool
+    plane or None): lanes allowed to steer the shared cursor; inactive
+    lanes' results are garbage the caller already masks out.
+
+    Returns (t, nx, ny, nz, u, v, hit) with the interpolated *object-space*
+    shading normal (unnormalized) and texture UV; hit = lane found a
+    triangle closer than t_init.
+    """
+    rox, roy, roz = ro_o
+    rdx, rdy, rdz = rd_o
+    invx = _safe_inv_slab(rdx)
+    invy = _safe_inv_slab(rdy)
+    invz = _safe_inv_slab(rdz)
+    shape = rox.shape
+    zeros = jnp.zeros(shape, jnp.float32)
+
+    def cond(c):
+        return c[0] < n_nodes_p
+
+    def body(c):
+        i, t_best, nx, ny, nz, us, vs = c
+        nf = nodes_f_ref[pl.ds(i, 1), :]  # (1, 8): min.xyz max.xyz pad pad
+        tx0 = (nf[0, 0] - rox) * invx
+        tx1 = (nf[0, 3] - rox) * invx
+        ty0 = (nf[0, 1] - roy) * invy
+        ty1 = (nf[0, 4] - roy) * invy
+        tz0 = (nf[0, 2] - roz) * invz
+        tz1 = (nf[0, 5] - roz) * invz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        box_hit = (jnp.maximum(tmin, 0.0) <= tmax) & (tmin < t_best)
+        if active is not None:
+            # dead lanes (terminated paths) must not drag the packet into
+            # subtrees: their stale rays still intersect boxes otherwise
+            box_hit = box_hit & active
+        any_hit = jnp.any(box_hit)
+
+        esc = nodes_i_ref[i, 0]
+        row0 = nodes_i_ref[i, 1]
+        nrows = nodes_i_ref[i, 2]
+        is_leaf = nrows > 0
+
+        def leaf_fn(c2):
+            def row_body(k, c3):
+                t_best, nx, ny, nz, us, vs = c3
+                row = tris_ref[pl.ds(row0 + k, 1), :]  # (1, 128): 4 records
+                for j in range(4):
+                    o = 32 * j
+                    p0x, p0y, p0z = row[0, o + 0], row[0, o + 1], row[0, o + 2]
+                    e1x = row[0, o + 3] - p0x
+                    e1y = row[0, o + 4] - p0y
+                    e1z = row[0, o + 5] - p0z
+                    e2x = row[0, o + 6] - p0x
+                    e2y = row[0, o + 7] - p0y
+                    e2z = row[0, o + 8] - p0z
+                    pvx = rdy * e2z - rdz * e2y
+                    pvy = rdz * e2x - rdx * e2z
+                    pvz = rdx * e2y - rdy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv_det = _safe_inv_slab(det)
+                    tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0) | (t <= 0.0)
+                    miss = miss | (cull & (det < 0.0))
+                    closer = jnp.logical_not(miss) & (t < t_best)
+                    w = 1.0 - u - v
+                    inx = w * row[0, o + 9] + u * row[0, o + 12] + v * row[0, o + 15]
+                    iny = w * row[0, o + 10] + u * row[0, o + 13] + v * row[0, o + 16]
+                    inz = w * row[0, o + 11] + u * row[0, o + 14] + v * row[0, o + 17]
+                    iu = w * row[0, o + 18] + u * row[0, o + 20] + v * row[0, o + 22]
+                    iv = w * row[0, o + 19] + u * row[0, o + 21] + v * row[0, o + 23]
+                    t_best = jnp.where(closer, t, t_best)
+                    nx = jnp.where(closer, inx, nx)
+                    ny = jnp.where(closer, iny, ny)
+                    nz = jnp.where(closer, inz, nz)
+                    us = jnp.where(closer, iu, us)
+                    vs = jnp.where(closer, iv, vs)
+                return (t_best, nx, ny, nz, us, vs)
+
+            return jax.lax.fori_loop(0, nrows, row_body, c2)
+
+        leaf_state = (t_best, nx, ny, nz, us, vs)
+        t_best, nx, ny, nz, us, vs = jax.lax.cond(
+            any_hit & is_leaf, leaf_fn, lambda c2: c2, leaf_state
+        )
+        next_i = jnp.where(any_hit & jnp.logical_not(is_leaf), i + 1, esc)
+        return (next_i, t_best, nx, ny, nz, us, vs)
+
+    # NB: no boolean plane rides the carry (Mosaic cannot yield vector<i1>);
+    # "found a hit" is recovered as t_best < t_init afterwards — exact, since
+    # any accepted triangle strictly lowered t from its t_init start.
+    carry = (jnp.int32(0), t_init, zeros, zeros, zeros, zeros, zeros)
+    _, t_best, nx, ny, nz, us, vs = jax.lax.while_loop(cond, body, carry)
+    return t_best, nx, ny, nz, us, vs, t_best < t_init
+
+
 def _smoothstep(e0, e1, x):
     t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
     return t * t * (3.0 - 2.0 * t)
@@ -563,11 +688,12 @@ _QUADRIC_INTERSECTORS = (
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False):
+def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False, has_mesh: bool = False, n_nodes_p: int = 0):
     eps = cfg.eps_intersect
     light_i = cfg.light_index if cfg.light_index >= 0 else n_quads - 1
     n_obj = n_spheres + n_quadrics + n_quads
     env_sky = cfg.env == "sky"
+    env_hdri = cfg.env == "hdri"
     has_quad_light = cfg.nee == "quad"
 
     def kernel(*args):
@@ -577,7 +703,12 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
         # quads (n_quads, 20) SMEM: n3 v0..v3(12) color3 mat pad
         # [spheres] (n_spheres, 21) SMEM: inv 4x4 row-major (16) color3 mat pad
         # [quadrics] (12, 20) SMEM: inv(16) color3 mat, UNIT_INTERSECTORS order
-        # bn (4, TH, W) VMEM; then 11 (TH, W) outputs;
+        # [mesh] mesh_s (18,) SMEM: inv(16) mat cull; nodes_f (Np, 8) VMEM;
+        #   nodes_i (Np, 4) SMEM i32; tris_d (Rp, 128) VMEM (accel.cluster
+        #   dense layout)
+        # bn (4, TH, W) VMEM; then 11 (TH, W) outputs (+6 miss-weight/dir
+        # planes when env == "hdri": the equirect fetch is deferred to XLA —
+        # a path misses at most once, so one set of planes is exact);
         # param_grads appends one (n_obj*3, TH, W) ∂log-throughput output
         cam_ref, scalars_ref, quads_ref = args[0:3]
         i_arg = 3
@@ -588,10 +719,18 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
         if n_quadrics:
             qdr_ref = args[i_arg]
             i_arg += 1
+        mesh_s_ref = mnodes_f_ref = mnodes_i_ref = mtris_ref = None
+        if has_mesh:
+            mesh_s_ref, mnodes_f_ref, mnodes_i_ref, mtris_ref = args[i_arg:i_arg + 4]
+            i_arg += 4
         bn_ref = args[i_arg]
         i_arg += 1
         (col_r, col_g, col_b, onx, ony, onz, ocr, ocg, ocb, oid, osh) = args[i_arg:i_arg + 11]
-        maybe_sg = args[i_arg + 11:]
+        i_arg += 11
+        if env_hdri:
+            (mw_r_o, mw_g_o, mw_b_o, md_x_o, md_y_o, md_z_o) = args[i_arg:i_arg + 6]
+            i_arg += 6
+        maybe_sg = args[i_arg:]
         f32 = jnp.float32
         row0 = pl.program_id(0) * tile_rows
         col0 = pl.program_id(1) * tile_cols
@@ -675,13 +814,14 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             lnx = quads_ref[light_i, 0]
             lny = quads_ref[light_i, 1]
             lnz = quads_ref[light_i, 2]
-        if env_sky:
+        if env_sky or env_hdri:
             sunx = scalars_ref[3]
             suny = scalars_ref[4]
             sunz = scalars_ref[5]
-            sky_sun_e = scalars_ref[7]
-            sky_gamma = scalars_ref[8]
-            sky_blend = scalars_ref[9]
+            if env_sky:
+                sky_sun_e = scalars_ref[7]
+                sky_gamma = scalars_ref[8]
+                sky_blend = scalars_ref[9]
             # ONB about the sun (cross-trick, PathTracingCommon.js:527-528)
             s_up = jnp.abs(suny) < 0.9
             shx = jnp.where(s_up, 0.0, 1.0)
@@ -694,6 +834,15 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             svx = suny * suz - sunz * suy
             svy = sunz * sux - sunx * suz
             svz = sunx * suy - suny * sux
+
+        if env_hdri:
+            # deferred-env records: weight + direction at the (single) miss
+            mw_r = zeros
+            mw_g = zeros
+            mw_b = zeros
+            md_x = zeros
+            md_y = zeros
+            md_z = zeros
 
         # path-replay ∂log-throughput accumulators, one plane per (object, ch)
         sg = [[zeros, zeros, zeros] for _ in range(n_obj)] if param_grads else None
@@ -825,6 +974,49 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                 hid = jnp.where(closer, f32(oid_counter), hid)
                 oid_counter += 1
 
+            if has_mesh:
+                # BVH mesh, walked last so t_best already prunes subtrees
+                # (SceneIntersect model section,
+                # GLTFModelPathTracing_FragmentShader.js:201-344).
+                def MM(r, c):
+                    return mesh_s_ref[r * 4 + c]
+
+                mro_x = MM(0, 0) * rox + MM(0, 1) * roy + MM(0, 2) * roz + MM(0, 3)
+                mro_y = MM(1, 0) * rox + MM(1, 1) * roy + MM(1, 2) * roz + MM(1, 3)
+                mro_z = MM(2, 0) * rox + MM(2, 1) * roy + MM(2, 2) * roz + MM(2, 3)
+                mrd_x = MM(0, 0) * rdx + MM(0, 1) * rdy + MM(0, 2) * rdz
+                mrd_y = MM(1, 0) * rdx + MM(1, 1) * rdy + MM(1, 2) * rdz
+                mrd_z = MM(2, 0) * rdx + MM(2, 1) * rdy + MM(2, 2) * rdz
+                cull_m = mesh_s_ref[17] > 0.5
+                # One whole-tile packet per bounce: a shared scalar cursor
+                # over more lanes skips fewer subtrees, but compiles 4x less
+                # code than per-(8,C) sub-packets and repeats every scalar
+                # node/triangle fetch once per tile instead of once per
+                # sub-packet — measured faster on all demo meshes.
+                t_m, mnx, mny, mnz, _mu, _mv, hit_m = _mesh_walk(
+                    (mro_x, mro_y, mro_z), (mrd_x, mrd_y, mrd_z),
+                    cull_m, mnodes_f_ref, mnodes_i_ref, mtris_ref,
+                    n_nodes_p, t_best, active=(alive if bounce else None),
+                )
+                hit_m = hit_m & alive if bounce else hit_m
+                # world shading normal: transpose(inv3x3) @ n_obj
+                wnx = MM(0, 0) * mnx + MM(1, 0) * mny + MM(2, 0) * mnz
+                wny = MM(0, 1) * mnx + MM(1, 1) * mny + MM(2, 1) * mnz
+                wnz = MM(0, 2) * mnx + MM(1, 2) * mny + MM(2, 2) * mnz
+                wnx, wny, wnz = _normalize(wnx, wny, wnz)
+                t_best = jnp.where(hit_m, t_m, t_best)
+                nx = jnp.where(hit_m, wnx, nx)
+                ny = jnp.where(hit_m, wny, ny)
+                nz = jnp.where(hit_m, wnz, nz)
+                # hitColor forced to white — slots 6-7 reserved-but-unused in
+                # the reference too (GLTFModelPathTracing_FragmentShader.js:334)
+                hc_r = jnp.where(hit_m, 1.0, hc_r)
+                hc_g = jnp.where(hit_m, 1.0, hc_g)
+                hc_b = jnp.where(hit_m, 1.0, hc_b)
+                mat = jnp.where(hit_m, mesh_s_ref[16], mat)
+                hid = jnp.where(hit_m, f32(oid_counter), hid)
+                oid_counter += 1
+
             miss = t_best >= INFINITY
             # n is unit for all sources; face-forward
             flip = _dot(nx, ny, nz, rdx, rdy, rdz) < 0.0
@@ -861,6 +1053,38 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                     acc_g = jnp.where(m_env, m_g * sky_g * env_w, acc_g)
                     acc_b = jnp.where(m_env, m_b * sky_b * env_w, acc_b)
                     sharp = jnp.where(m_env & c2, 1.01, sharp)
+
+            if env_hdri:
+                # HDRI miss: record direction + throughput-weighted case
+                # weight; the equirect fetch happens outside the kernel.
+                # Case chain = HDRIEnvironmentPathTracing_FragmentShader.js:
+                # 412-437 (c4 additionally gated bounces < 3).
+                m_env = alive & miss
+                if bounce == 0:
+                    mw_r = jnp.where(m_env, 1.0, mw_r)
+                    mw_g = jnp.where(m_env, 1.0, mw_g)
+                    mw_b = jnp.where(m_env, 1.0, mw_b)
+                    sharp = jnp.where(m_env, 1.01, sharp)
+                else:
+                    cos_vs = rdx * sunx + rdy * suny + rdz * sunz
+                    c2 = (d_cnt == 0) & spec
+                    c3 = samp_l
+                    c4 = (d_cnt == 1) & prev_trans & spec if bounce < 3 else None
+                    c5 = d_cnt > 0
+                    sun_clip = jnp.where(cos_vs < 0.99, 1.0, 0.0)
+                    full = (c2 | c3 | c4) if c4 is not None else (c2 | c3)
+                    env_w = jnp.where(full, 1.0, jnp.where(c5, sun_clip, 0.0))
+                    mw_r = jnp.where(m_env, m_r * env_w, mw_r)
+                    mw_g = jnp.where(m_env, m_g * env_w, mw_g)
+                    mw_b = jnp.where(m_env, m_b * env_w, mw_b)
+                    sharp = jnp.where(m_env & c2, 1.01, sharp)
+                    if c4 is not None:
+                        sharp = jnp.where(
+                            m_env & ~c2 & ~c3 & c4 & (cos_vs > 0.99), 1.01, sharp
+                        )
+                md_x = jnp.where(m_env, rdx, md_x)
+                md_y = jnp.where(m_env, rdy, md_y)
+                md_z = jnp.where(m_env, rdz, md_z)
 
             alive = alive & ~miss
             lane = alive
@@ -1159,6 +1383,13 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
         ocb[:] = obj_cb
         oid[:] = obj_id
         osh[:] = sharp
+        if env_hdri:
+            mw_r_o[:] = mw_r
+            mw_g_o[:] = mw_g
+            mw_b_o[:] = mw_b
+            md_x_o[:] = md_x
+            md_y_o[:] = md_y
+            md_z_o[:] = md_z
         if param_grads:
             sg_ref = maybe_sg[0]
             for j in range(n_obj):
@@ -1202,6 +1433,28 @@ def pack_scene(scene: Scene):
     return quads, sph, qdr
 
 
+def pack_mesh(scene: Scene):
+    """TriangleMesh -> kernel inputs (mesh_s (18,) f32, nodes_f, nodes_i,
+    tris_dense) or None.  mesh_s = inv 4x4 row-major, mat_type,
+    backface-cull flag (cull unless untextured TRANSPARENT,
+    GLTFModelPathTracing_FragmentShader.js:284-287)."""
+    m = scene.mesh
+    if m is None:
+        return None
+    if m.fz_nodes_f is None:
+        raise ValueError("mesh lacks the dense clustered pack (fz_*); "
+                         "rebuild it with scenes.gltf_scene.mesh_from_model")
+    mt = m.mat_type.astype(jnp.float32)
+    has_albedo = m.albedo is not None
+    cull = jnp.where(
+        (not has_albedo) & (m.mat_type == TRANSPARENT), 0.0, 1.0
+    ).astype(jnp.float32)
+    mesh_s = jnp.concatenate(
+        [m.inv_matrix.reshape(16).astype(jnp.float32), mt[None], cull[None]]
+    )
+    return mesh_s, m.fz_nodes_f, m.fz_nodes_i, m.fz_tris
+
+
 def pack_cornell_scene(scene: Scene):
     """Back-compat alias: (quads, spheres) packs of the Cornell family."""
     quads, sph, _ = pack_scene(scene)
@@ -1237,18 +1490,23 @@ def _blue_noise_planes(blue_noise, height, width, rand_vec2):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "tile_cols", "interpret", "param_grads"))
 def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False, param_grads=False):
-    quads, sph, qdr = packs
+    quads, sph, qdr, mesh = packs
     n_quads = quads.shape[0]
     n_spheres = sph.shape[0] if sph is not None else 0
     n_quadrics = qdr.shape[0] if qdr is not None else 0
     n_obj = n_quads + n_spheres + n_quadrics
-    kernel = _make_kernel(cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width, height, param_grads)
+    has_mesh = mesh is not None
+    n_nodes_p = mesh[1].shape[0] if has_mesh else 0
+    if has_mesh and tile_rows % 8:
+        raise ValueError("mesh scenes need tile_rows % 8 == 0 (sub-packets)")
+    n_out = 17 if cfg.env == "hdri" else 11
+    kernel = _make_kernel(cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width, height, param_grads, has_mesh=has_mesh, n_nodes_p=n_nodes_p)
     grid = (height // tile_rows, width // tile_cols)
     plane = jax.ShapeDtypeStruct((height, width), jnp.float32)
-    out_shape = [plane] * 11
+    out_shape = [plane] * n_out
     out_specs = [
         pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    ] * 11
+    ] * n_out
     if param_grads:
         out_shape.append(jax.ShapeDtypeStruct((n_obj * 3, height, width), jnp.float32))
         out_specs.append(
@@ -1263,6 +1521,15 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
     if n_quadrics:
         inputs.append(qdr)
         in_specs.append(smem)
+    if has_mesh:
+        mesh_s, nodes_f, nodes_i, tris_d = mesh
+        inputs.extend([mesh_s, nodes_f, nodes_i, tris_d])
+        in_specs.extend([
+            smem,
+            pl.BlockSpec(nodes_f.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            smem,
+            pl.BlockSpec(tris_d.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ])
     inputs.append(bn_planes)
     in_specs.append(
         pl.BlockSpec((4, tile_rows, tile_cols), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
@@ -1280,16 +1547,31 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
 # custom-VJP (path-replay parameter gradients, see module docstring)
 # ---------------------------------------------------------------------------
 
+def _zeros_ct(x):
+    """Zero cotangent matching JAX's convention: float0 for integer leaves."""
+    import numpy as np
+
+    if x is None:
+        return None
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
 @functools.lru_cache(maxsize=64)
 def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile_cols: int, interpret: bool):
     """Returns radiance(quads, sph, cam, scalars, bn) differentiable w.r.t.
     the packed material-color columns (quads[:,15:18], sph[:,16:19]) — the
     emission/albedo parameters of the Cornell-family inverse problem
-    (BASELINE.json config #1/#5 shape).  Other leaves get zero cotangents;
-    use the jnp integrator for camera/geometry gradients."""
+    (BASELINE.json config #1/#5 shape).  With env "hdri", the deferred
+    miss-weight planes carry the same ∂log-throughput sum, so env-terminated
+    paths contribute material gradients too (the outer equirect composition
+    adds exact HDR/exposure gradients by plain AD).  Other leaves get zero
+    cotangents; use the jnp integrator for camera/geometry gradients."""
 
     kw = dict(cfg=cfg, height=height, width=width, tile_rows=tile_rows,
               tile_cols=tile_cols, interpret=interpret)
+    env_hdri = cfg.env == "hdri"
 
     @jax.custom_vjp
     def f(packs, cam, scalars, bn_planes):
@@ -1299,21 +1581,27 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
         *outs, sgrad = _pallas_forward(
             packs, cam, scalars, bn_planes, param_grads=True, **kw
         )
-        res = (outs[0], outs[1], outs[2], outs[9], sgrad,
-               jax.tree.map(jnp.zeros_like, packs))
+        mw = (outs[11], outs[12], outs[13]) if env_hdri else None
+        res = (outs[0], outs[1], outs[2], outs[9], mw, sgrad,
+               jax.tree.map(_zeros_ct, packs, is_leaf=lambda x: x is None))
         return tuple(outs), res
 
     def f_bwd(res, cot):
-        cr, cg, cb, oid_plane, sgrad, zpacks = res
-        zq, zs, zqd = zpacks
+        cr, cg, cb, oid_plane, mw, sgrad, zpacks = res
+        zq, zs, zqd, _zmesh = zpacks
         n_s = zs.shape[0] if zs is not None else 0
         n_qd = zqd.shape[0] if zqd is not None else 0
         n_q = zq.shape[0]
         n_obj = n_q + n_s + n_qd
         adj_col = jnp.stack(cot[0:3])  # (3, H, W) radiance cotangent
         color = jnp.stack([cr, cg, cb])
+        weighted = adj_col * color
+        if env_hdri:
+            # env-terminated paths: mw = m * env_w shares the path's
+            # ∂log-throughput planes
+            weighted = weighted + jnp.stack(cot[11:14]) * jnp.stack(mw)
         sg = sgrad.reshape(n_obj, 3, height, width)
-        gcol = jnp.einsum("chw,jchw->jc", adj_col * color, sg)
+        gcol = jnp.einsum("chw,jchw->jc", weighted, sg)
         # first-hit object_color record: d record_c / d color[j,c] = [oid == j]
         adj_oc = jnp.stack(cot[6:9])
         onehot = (oid_plane[None] == jnp.arange(n_obj, dtype=jnp.float32)[:, None, None])
@@ -1322,7 +1610,7 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
         gq = zq.at[:, 15:18].set(gcol[n_s + n_qd:])
         gs = zs.at[:, 16:19].set(gcol[:n_s]) if zs is not None else None
         gqd = zqd.at[:, 16:19].set(gcol[n_s:n_s + n_qd]) if zqd is not None else None
-        return ((gq, gs, gqd), jnp.zeros(16, jnp.float32),
+        return ((gq, gs, gqd, _zmesh), jnp.zeros(16, jnp.float32),
                 jnp.zeros(10, jnp.float32), jnp.zeros((4, height, width), jnp.float32))
 
     f.defvjp(f_fwd, f_bwd)
@@ -1343,26 +1631,34 @@ def trace_image_pallas(
     interpret: bool = False,
     differentiable: bool = False,
 ):
-    """Pallas forward of the Cornell-, quadric- and sky-family radiance pass.
+    """Pallas forward of the Cornell-, quadric-, sky-, glTF- and HDRI-family
+    radiance pass.
 
     Returns the same RadianceResult as integrator.frame.trace_image (same
     RNG schedule, float-level parity).  Covers scenes built from quads +
-    matrix-instanced unit spheres + the 12-shape transformed-quadric set,
-    with env 'none' + quad NEE (the reference's Cornell and
-    Transformed_Quadric_Geometry demos) or env 'sky' + sun NEE (the
-    Physical_Sky_Model demo: Preetham miss shading with the 5-case chain,
-    sun-lobe next-event estimation).
+    matrix-instanced unit spheres + the 12-shape transformed-quadric set +
+    one untextured BVH triangle mesh (walked in-loop by the escape-linked
+    packet traversal), with env 'none' + quad NEE (Cornell /
+    Transformed_Quadric_Geometry / GLTF_Model demos), env 'sky' + sun NEE
+    (Physical_Sky_Model: Preetham miss shading with the 5-case chain), or
+    env 'hdri' + sun NEE (HDRI_Environment: the kernel defers the equirect
+    fetch by emitting miss-weight/direction planes — a path misses at most
+    once — and this wrapper composes ``color += miss_w * Get_HDR_Color``).
 
     With ``differentiable=True`` the call carries the fused path-replay
     custom_vjp: gradients flow to quad/sphere/quadric material colors (incl.
-    the light emission) at ~forward cost; other leaves get zero cotangents.
+    the light emission) at ~forward cost; env 'hdri' additionally gets exact
+    HDR-image/exposure gradients through the outer equirect composition.
+    Other leaves get zero cotangents.  Textured (PBR) meshes stay on the
+    wavefront path.
     """
     from bpt_tpu.integrator.radiance import RadianceResult
 
-    assert cfg.env in ("none", "sky") and not cfg.metal_roughness_lobe
+    assert cfg.env in ("none", "sky", "hdri") and not cfg.metal_roughness_lobe
     assert (cfg.env == "none") == (cfg.nee == "quad")
-    assert scene.mesh is None
-    packs = pack_scene(scene)
+    if scene.mesh is not None:
+        assert scene.mesh.albedo is None, "textured meshes: wavefront path"
+    packs = pack_scene(scene) + (pack_mesh(scene),)
     cam = pack_camera(camera, width, height)
     shape_k = (
         jnp.asarray(scene.quadrics.shape_k, jnp.float32)
@@ -1407,9 +1703,21 @@ def trace_image_pallas(
         outs = _pallas_forward(
             packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret
         )
-    (cr, cg, cb, onx, ony, onz, ocr, ocg, ocb, oid, osh) = outs
+    (cr, cg, cb, onx, ony, onz, ocr, ocg, ocb, oid, osh) = outs[:11]
+    color = jnp.stack([cr, cg, cb], axis=-1)
+    if cfg.env == "hdri":
+        # deferred equirect fetch: exactly one env lookup per path, outside
+        # the kernel (Get_HDR_Color, HDRIEnvironmentPathTracing_
+        # FragmentShader.js:351-360) — differentiable in image/exposure.
+        from bpt_tpu.env import get_hdr_color
+
+        mw = jnp.stack(outs[11:14], axis=-1)
+        mdir = jnp.stack(outs[14:17], axis=-1)
+        color = color + mw * get_hdr_color(
+            scene.env.hdr_image, mdir, scene.env.hdr_exposure
+        )
     return RadianceResult(
-        color=jnp.stack([cr, cg, cb], axis=-1),
+        color=color,
         object_normal=jnp.stack([onx, ony, onz], axis=-1),
         object_color=jnp.stack([ocr, ocg, ocb], axis=-1),
         object_id=oid,

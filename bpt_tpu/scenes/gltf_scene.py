@@ -62,9 +62,13 @@ def mesh_from_model(
     bvh = build_bvh(mn, mx)
     m = trs_matrix(translation=translation, rotation=rotation, scale=scale)
 
-    from bpt_tpu.accel.cluster import pack_clustered
+    from bpt_tpu.accel.cluster import pack_clustered, pack_clustered_dense
 
     pk = pack_clustered(
+        bvh, model.p0, model.p1, model.p2, model.n0, model.n1, model.n2,
+        model.uv0, model.uv1, model.uv2,
+    )
+    fz = pack_clustered_dense(
         bvh, model.p0, model.p1, model.p2, model.n0, model.n1, model.n2,
         model.uv0, model.uv1, model.uv2,
     )
@@ -77,6 +81,9 @@ def mesh_from_model(
         pk_nodes_i=jnp.asarray(pk.nodes_i),
         pk_tris=jnp.asarray(pk.tris),
         pk_order=jnp.asarray(pk.tri_order),
+        fz_nodes_f=jnp.asarray(fz.nodes_f),
+        fz_nodes_i=jnp.asarray(fz.nodes_i),
+        fz_tris=jnp.asarray(fz.tris),
         p0=jnp.asarray(model.p0),
         p1=jnp.asarray(model.p1),
         p2=jnp.asarray(model.p2),

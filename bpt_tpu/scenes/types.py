@@ -126,6 +126,13 @@ class TriangleMesh(NamedTuple):
     pk_nodes_i: Optional[jnp.ndarray] = None  # (Np, 4) i32
     pk_tris: Optional[jnp.ndarray] = None  # (Tp, 32) f32 reordered records
     pk_order: Optional[jnp.ndarray] = None  # (T,) i32 reordered -> original id
+    # Lane-dense escape-linked pack for the fused Pallas megakernel's in-loop
+    # walk (bpt_tpu.accel.cluster.pack_clustered_dense): 4 triangle records
+    # per 128-lane row, leaf ranges row-aligned.  None -> megakernel refuses
+    # the scene and the renderer stays on the wavefront path.
+    fz_nodes_f: Optional[jnp.ndarray] = None  # (Np, 8) f32
+    fz_nodes_i: Optional[jnp.ndarray] = None  # (Np, 4) i32: esc, row0, nrows
+    fz_tris: Optional[jnp.ndarray] = None  # (Rp, 128) f32
 
 
 class Environment(NamedTuple):

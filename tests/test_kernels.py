@@ -120,3 +120,75 @@ def test_megakernel_dof_parity():
     )
     close = np.isclose(np.asarray(ref.color), np.asarray(got.color), rtol=1e-4, atol=1e-5).all(-1)
     assert close.mean() > 0.995
+
+
+# ---------------------------------------------------------------------------
+# mesh (glTF-family) and HDRI-family fused paths
+# ---------------------------------------------------------------------------
+
+def _synthetic_mesh(mat_type=1, T=21):
+    """Random triangle blob — exercises the escape-linked in-kernel walk."""
+    from bpt_tpu.io.gltf import GLTFModel
+    from bpt_tpu.scenes.gltf_scene import mesh_from_model
+
+    rng = np.random.default_rng(0)
+    c = rng.normal(0, 8, (T, 1, 3)).astype(np.float32)
+    tri = (c + rng.normal(0, 3, (T, 3, 3))).astype(np.float32)
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-9
+    z2 = np.zeros((T, 2), np.float32)
+    model = GLTFModel(p0=tri[:, 0], p1=tri[:, 1], p2=tri[:, 2], n0=n, n1=n,
+                      n2=n, uv0=z2, uv1=z2, uv2=z2, albedo=None,
+                      normal_map=None, metallic_roughness=None, emissive=None)
+    return mesh_from_model(model, mat_type=mat_type)
+
+
+def _lane_stats(ref, out):
+    d = np.abs(np.asarray(ref.color) - np.asarray(out.color)).max(-1)
+    return float(np.mean(d > 1e-3)), float(np.quantile(d, 0.95))
+
+
+def test_megakernel_mesh_parity():
+    """Fused in-loop BVH walk vs the wavefront integrator (glTF demo family).
+
+    Tolerance is statistical, not elementwise: the walk shares the wavefront's
+    Möller-Trumbore formulas but not its operation order, so lanes whose
+    nearest-hit decision is an FP tie (silhouettes, coincident surfaces of
+    the random soup) may scatter differently and diverge chaotically — the
+    same reason two GPUs' images differ at isolated pixels.
+    """
+    from bpt_tpu.scenes.gltf_scene import gltf_camera, gltf_scene
+
+    scene = gltf_scene(_synthetic_mesh(mat_type=1))
+    cfg = IntegratorConfig(bounces=2)
+    cam = gltf_camera()
+    h, w = 32, 128
+    ref = trace_image(scene, cam, cfg, w, h, 2.0, RV, BN)
+    out = trace_image_pallas(scene, cam, cfg, w, h, 2.0, RV, BN,
+                             tile_rows=32, tile_cols=128, interpret=True)
+    frac_bad, q95 = _lane_stats(ref, out)
+    assert frac_bad < 0.01, frac_bad
+    assert q95 < 1e-4, q95
+    idm = np.mean(np.asarray(ref.object_id) != np.asarray(out.object_id))
+    assert idm < 0.02, idm
+
+
+def test_megakernel_hdri_parity():
+    """Deferred-equirect HDRI path (miss-weight/direction planes + outside
+    Get_HDR_Color composition) vs the wavefront integrator."""
+    from apps.hdri_environment import synthetic_hdr
+    from bpt_tpu.scenes.gltf_scene import hdri_camera, hdri_scene
+
+    scene = hdri_scene(_synthetic_mesh(mat_type=1), synthetic_hdr(32, 64),
+                       sun_power=4.0)
+    cfg = IntegratorConfig(bounces=3, env="hdri", nee="sun",
+                           sun_weight_mode="hdri", sun_lobe_roughness=0.03,
+                           diffuse_indirect_max=2)
+    cam = hdri_camera()
+    h, w = 32, 128
+    ref = trace_image(scene, cam, cfg, w, h, 2.0, RV, BN)
+    out = trace_image_pallas(scene, cam, cfg, w, h, 2.0, RV, BN,
+                             tile_rows=32, tile_cols=128, interpret=True)
+    frac_bad, q95 = _lane_stats(ref, out)
+    assert frac_bad < 0.02, frac_bad
+    assert q95 < 1e-3, q95
