@@ -23,6 +23,56 @@ import jax
 import jax.numpy as jnp
 
 
+def bench_gltf(args):
+    """glTF demo family on the fused megakernel (in-loop packet-BVH walk)."""
+    import os
+
+    from bpt_tpu.core.rng import blue_noise_table
+    from bpt_tpu.integrator import IntegratorConfig
+    from bpt_tpu.io import load_gltf
+    from bpt_tpu.kernels.megakernel import trace_image_pallas
+    from bpt_tpu.scenes.gltf_scene import gltf_camera, gltf_scene, mesh_from_model
+
+    model = load_gltf(
+        os.path.join("/root/reference/models", "UtahTeapot.glb"),
+        initial_scale=130.0, flip_z=True,
+    )
+    mesh = mesh_from_model(model, mat_type=3)
+    scene = gltf_scene(mesh)
+    cfg = IntegratorConfig(bounces=args.bounces)
+    cam = gltf_camera()
+    h = w = args.size
+    bn = jnp.asarray(blue_noise_table())
+    rv = jnp.asarray([0.3, 0.7], jnp.float32)
+
+    def k_frames(frame0):
+        def body(acc, fc):
+            r = trace_image_pallas(scene, cam, cfg, w, h, fc, rv, bn)
+            return acc + r.color, None
+
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((h, w, 3), jnp.float32),
+            frame0 + jnp.arange(0.0, args.frames),
+        )
+        return out
+
+    step = jax.jit(k_frames)
+    jax.block_until_ready(step(jnp.asarray(2.0, jnp.float32)))
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        out = step(jnp.asarray(2.0 + i * args.frames, jnp.float32))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.iters
+    rays_per_s = h * w * args.bounces * args.frames / dt
+    print(json.dumps({
+        "metric": f"rays/s/chip fwd {h}x{w} {args.bounces} bounces "
+                  "(teapot glTF, fused megakernel + in-loop BVH walk)",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / (1e9 / 16.0), 4),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=1024)
@@ -33,8 +83,13 @@ def main():
     p.add_argument("--xla", action="store_true",
                    help="unfused XLA wavefront path (default: fused Pallas "
                         "megakernel with path-replay parameter gradients)")
+    p.add_argument("--scene", choices=("cornell", "gltf"), default="cornell",
+                   help="'gltf' = teapot-in-Cornell on the fused in-loop BVH "
+                        "walk (forward only)")
     args = p.parse_args()
     args.pallas = not args.xla
+    if args.scene == "gltf":
+        return bench_gltf(args)
 
     from bpt_tpu.core.rng import blue_noise_table
     from bpt_tpu.integrator import IntegratorConfig

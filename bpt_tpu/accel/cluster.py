@@ -40,8 +40,11 @@ class DenseClusteredBVH(NamedTuple):
     no dynamic lane slicing anywhere.
     """
 
-    nodes_f: np.ndarray  # (Np, 8) f32: min.xyz, max.xyz, 0, 0
-    nodes_i: np.ndarray  # (Np, 4) i32: escape, row_start, row_count, 0
+    nodes_f: np.ndarray  # (Np, 16) f32: min.xyz, max.xyz, escape, row_start,
+    #   row_count, pad... — the link fields ride the float row (exact: all
+    #   < 2^24), because TPU SMEM burns 128 bytes per scalar and a mesh-sized
+    #   int table would blow its 1 MB; the kernel extracts them back to
+    #   scalars from the VMEM row load
     tris: np.ndarray  # (Rp, 128) f32: 4 x [p0 p1 p2 n0 n1 n2 uv0 uv1 uv2 pad8]
     tri_order: np.ndarray  # (R*4,) i32: packed slot -> original tri id, -1 pad
     n_nodes: int
@@ -227,12 +230,11 @@ def pack_clustered_dense(
     rows[:] = rec32.reshape(n_rows + rpad, 128)
 
     npad = -n_nodes % 8
-    nodes_f = np.zeros((n_nodes + npad, 8), np.float32)
+    nodes_f = np.zeros((n_nodes + npad, 16), np.float32)
     nodes_f[:n_nodes, 0:3] = node_min
     nodes_f[:n_nodes, 3:6] = node_max
-    nodes_i = np.zeros((n_nodes + npad, 4), np.int32)
-    nodes_i[:n_nodes, :3] = rec_d
+    nodes_f[:n_nodes, 6:9] = rec_d  # escape, row_start, row_count (exact f32)
     # Pad rows: zero AABB (a spurious hit just steps i+1 to termination;
     # escaping to the row's own index would self-loop — see pack_clustered).
-    nodes_i[n_nodes:, 0] = n_nodes + npad
-    return DenseClusteredBVH(nodes_f, nodes_i, rows, order, n_nodes, n_rows)
+    nodes_f[n_nodes:, 6] = n_nodes + npad
+    return DenseClusteredBVH(nodes_f, rows, order, n_nodes, n_rows)

@@ -469,7 +469,7 @@ def _safe_inv_slab(x):
     return jnp.where(jnp.abs(x) < 1e-20, 1e20, 1.0 / jnp.where(x == 0.0, 1.0, x))
 
 
-def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, nodes_i_ref, tris_ref, n_nodes_p, t_init, active=None):
+def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, active=None):
     """Escape-linked packet walk of the dense clustered BVH for ONE
     sub-packet of rays — the fused-kernel analog of the reference's 28-deep
     per-pixel stack traversal (GLTFModelPathTracing_FragmentShader.js:206-298)
@@ -502,7 +502,7 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, nodes_i_ref, tris_ref, n_nodes_p, 
 
     def body(c):
         i, t_best, nx, ny, nz, us, vs = c
-        nf = nodes_f_ref[pl.ds(i, 1), :]  # (1, 8): min.xyz max.xyz pad pad
+        nf = nodes_f_ref[pl.ds(i, 1), :]  # (1, 16): min max esc row0 nrows
         tx0 = (nf[0, 0] - rox) * invx
         tx1 = (nf[0, 3] - rox) * invx
         ty0 = (nf[0, 1] - roy) * invy
@@ -524,9 +524,11 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, nodes_i_ref, tris_ref, n_nodes_p, 
             box_hit = box_hit & active
         any_hit = jnp.any(box_hit)
 
-        esc = nodes_i_ref[i, 0]
-        row0 = nodes_i_ref[i, 1]
-        nrows = nodes_i_ref[i, 2]
+        # link fields ride the float row (SMEM is 128 B/scalar — a mesh-
+        # sized int side table would blow its 1 MB); exact for values < 2^24
+        esc = nf[0, 6].astype(jnp.int32)
+        row0 = nf[0, 7].astype(jnp.int32)
+        nrows = nf[0, 8].astype(jnp.int32)
         is_leaf = nrows > 0
 
         def leaf_fn(c2):
@@ -703,9 +705,9 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
         # quads (n_quads, 20) SMEM: n3 v0..v3(12) color3 mat pad
         # [spheres] (n_spheres, 21) SMEM: inv 4x4 row-major (16) color3 mat pad
         # [quadrics] (12, 20) SMEM: inv(16) color3 mat, UNIT_INTERSECTORS order
-        # [mesh] mesh_s (18,) SMEM: inv(16) mat cull; nodes_f (Np, 8) VMEM;
-        #   nodes_i (Np, 4) SMEM i32; tris_d (Rp, 128) VMEM (accel.cluster
-        #   dense layout)
+        # [mesh] mesh_s (18,) SMEM: inv(16) mat cull; nodes_f (Np, 16) VMEM
+        #   (aabb + float-encoded escape/row links); tris_d (Rp, 128) VMEM
+        #   (accel.cluster dense layout)
         # bn (4, TH, W) VMEM; then 11 (TH, W) outputs (+6 miss-weight/dir
         # planes when env == "hdri": the equirect fetch is deferred to XLA —
         # a path misses at most once, so one set of planes is exact);
@@ -719,10 +721,10 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
         if n_quadrics:
             qdr_ref = args[i_arg]
             i_arg += 1
-        mesh_s_ref = mnodes_f_ref = mnodes_i_ref = mtris_ref = None
+        mesh_s_ref = mnodes_f_ref = mtris_ref = None
         if has_mesh:
-            mesh_s_ref, mnodes_f_ref, mnodes_i_ref, mtris_ref = args[i_arg:i_arg + 4]
-            i_arg += 4
+            mesh_s_ref, mnodes_f_ref, mtris_ref = args[i_arg:i_arg + 3]
+            i_arg += 3
         bn_ref = args[i_arg]
         i_arg += 1
         (col_r, col_g, col_b, onx, ony, onz, ocr, ocg, ocb, oid, osh) = args[i_arg:i_arg + 11]
@@ -995,7 +997,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                 # sub-packet — measured faster on all demo meshes.
                 t_m, mnx, mny, mnz, _mu, _mv, hit_m = _mesh_walk(
                     (mro_x, mro_y, mro_z), (mrd_x, mrd_y, mrd_z),
-                    cull_m, mnodes_f_ref, mnodes_i_ref, mtris_ref,
+                    cull_m, mnodes_f_ref, mtris_ref,
                     n_nodes_p, t_best, active=(alive if bounce else None),
                 )
                 hit_m = hit_m & alive if bounce else hit_m
@@ -1434,7 +1436,7 @@ def pack_scene(scene: Scene):
 
 
 def pack_mesh(scene: Scene):
-    """TriangleMesh -> kernel inputs (mesh_s (18,) f32, nodes_f, nodes_i,
+    """TriangleMesh -> kernel inputs (mesh_s (18,) f32, nodes_f (Np,16),
     tris_dense) or None.  mesh_s = inv 4x4 row-major, mat_type,
     backface-cull flag (cull unless untextured TRANSPARENT,
     GLTFModelPathTracing_FragmentShader.js:284-287)."""
@@ -1452,7 +1454,7 @@ def pack_mesh(scene: Scene):
     mesh_s = jnp.concatenate(
         [m.inv_matrix.reshape(16).astype(jnp.float32), mt[None], cull[None]]
     )
-    return mesh_s, m.fz_nodes_f, m.fz_nodes_i, m.fz_tris
+    return mesh_s, m.fz_nodes_f, m.fz_tris
 
 
 def pack_cornell_scene(scene: Scene):
@@ -1522,12 +1524,11 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
         inputs.append(qdr)
         in_specs.append(smem)
     if has_mesh:
-        mesh_s, nodes_f, nodes_i, tris_d = mesh
-        inputs.extend([mesh_s, nodes_f, nodes_i, tris_d])
+        mesh_s, nodes_f, tris_d = mesh
+        inputs.extend([mesh_s, nodes_f, tris_d])
         in_specs.extend([
             smem,
             pl.BlockSpec(nodes_f.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            smem,
             pl.BlockSpec(tris_d.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ])
     inputs.append(bn_planes)

@@ -82,7 +82,6 @@ def mesh_from_model(
         pk_tris=jnp.asarray(pk.tris),
         pk_order=jnp.asarray(pk.tri_order),
         fz_nodes_f=jnp.asarray(fz.nodes_f),
-        fz_nodes_i=jnp.asarray(fz.nodes_i),
         fz_tris=jnp.asarray(fz.tris),
         p0=jnp.asarray(model.p0),
         p1=jnp.asarray(model.p1),

@@ -130,8 +130,7 @@ class TriangleMesh(NamedTuple):
     # walk (bpt_tpu.accel.cluster.pack_clustered_dense): 4 triangle records
     # per 128-lane row, leaf ranges row-aligned.  None -> megakernel refuses
     # the scene and the renderer stays on the wavefront path.
-    fz_nodes_f: Optional[jnp.ndarray] = None  # (Np, 8) f32
-    fz_nodes_i: Optional[jnp.ndarray] = None  # (Np, 4) i32: esc, row0, nrows
+    fz_nodes_f: Optional[jnp.ndarray] = None  # (Np, 16) f32: aabb + links
     fz_tris: Optional[jnp.ndarray] = None  # (Rp, 128) f32
 
 
