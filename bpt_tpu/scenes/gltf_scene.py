@@ -51,6 +51,7 @@ def mesh_from_model(
     translation=(0.0, 0.0, 0.0),
     rotation=(0.0, 0.0, 0.0),
     scale=(1.0, 1.0, 1.0),
+    leaf_size: int = 16,
 ) -> TriangleMesh:
     """glTF soup → device TriangleMesh with a freshly built BVH.
 
@@ -70,7 +71,7 @@ def mesh_from_model(
     )
     fz = pack_clustered_dense(
         bvh, model.p0, model.p1, model.p2, model.n0, model.n1, model.n2,
-        model.uv0, model.uv1, model.uv2,
+        model.uv0, model.uv1, model.uv2, leaf_size=leaf_size,
     )
 
     def dev(a):
