@@ -83,6 +83,8 @@ def main():
     p.add_argument("--xla", action="store_true",
                    help="unfused XLA wavefront path (default: fused Pallas "
                         "megakernel with path-replay parameter gradients)")
+    p.add_argument("--tile-rows", type=int, default=32)
+    p.add_argument("--tile-cols", type=int, default=256)
     p.add_argument("--scene", choices=("cornell", "gltf"), default="cornell",
                    help="'gltf' = teapot-in-Cornell on the fused in-loop BVH "
                         "walk (forward only)")
@@ -111,6 +113,7 @@ def main():
         def trace(s, fc):
             r = trace_image_pallas(
                 s, camera, cfg, h, w, fc, rand_vec2, blue_noise,
+                tile_rows=args.tile_rows, tile_cols=args.tile_cols,
                 differentiable=not args.forward_only,
             )
             return r.color

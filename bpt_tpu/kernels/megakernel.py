@@ -690,7 +690,7 @@ _QUADRIC_INTERSECTORS = (
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False, has_mesh: bool = False, n_nodes_p: int = 0):
+def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False, has_mesh: bool = False, n_nodes_p: int = 0, fast_quads: bool = False):
     eps = cfg.eps_intersect
     light_i = cfg.light_index if cfg.light_index >= 0 else n_quads - 1
     n_obj = n_spheres + n_quadrics + n_quads
@@ -711,7 +711,9 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
         # bn (4, TH, W) VMEM; then 11 (TH, W) outputs (+6 miss-weight/dir
         # planes when env == "hdri": the equirect fetch is deferred to XLA —
         # a path misses at most once, so one set of planes is exact);
-        # param_grads appends one (n_obj*3, TH, W) ∂log-throughput output
+        # param_grads appends one (n_sg, TH, W) ∂log-throughput output:
+        # n_obj linear-hit-count planes (+ n_obj Beer Σ0.01·t planes when
+        # absorption is on); the 1/color factors are applied in f_bwd
         cam_ref, scalars_ref, quads_ref = args[0:3]
         i_arg = 3
         sph_ref = qdr_ref = None
@@ -797,7 +799,10 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
         obj_cb = zeros
         obj_id = jnp.full((tile_rows, tile_cols), -INFINITY, f32)
         prev_metal = zeros > 1.0
-        prev_trans = zeros > 1.0
+        if env_sky or env_hdri:
+            # only the env miss chains read prev_trans; keeping the carry in
+            # the Cornell-family compile costs real vector ops per bounce
+            prev_trans = zeros > 1.0
 
         if has_quad_light:
             lv0x = quads_ref[light_i, 3]
@@ -846,8 +851,17 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             md_y = zeros
             md_z = zeros
 
-        # path-replay ∂log-throughput accumulators, one plane per (object, ch)
-        sg = [[zeros, zeros, zeros] for _ in range(n_obj)] if param_grads else None
+        # path-replay ∂log-throughput accumulators.  One plane per OBJECT
+        # (not per object-channel): every linear throughput factor equals
+        # the hit object's color *constant* color[j, c], so the per-channel
+        # 1/color division is deferred to the host-side backward — the
+        # kernel only counts hits (and, for Beer-Lambert, sums 0.01·t).
+        sg = [zeros for _ in range(n_obj)] if param_grads else None
+        sgb = (
+            [zeros for _ in range(n_obj)]
+            if param_grads and not cfg.transparent_tint
+            else None
+        )
 
         for bounce in range(cfg.bounces):
             # ---- scene intersect: all quads + spheres, keep nearest -----
@@ -945,25 +959,67 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                 def Q(j, _q=q):
                     return quads_ref[_q, j]
 
-                # two Möller-Trumbore fans: (v0,v1,v2) and (v0,v2,v3)
-                t_q = jnp.full((tile_rows, tile_cols), INFINITY, f32)
-                for (ax_, ay_, az_, bx_, by_, bz_) in (
-                    (Q(6) - Q(3), Q(7) - Q(4), Q(8) - Q(5), Q(9) - Q(3), Q(10) - Q(4), Q(11) - Q(5)),
-                    (Q(9) - Q(3), Q(10) - Q(4), Q(11) - Q(5), Q(12) - Q(3), Q(13) - Q(4), Q(14) - Q(5)),
-                ):
-                    pvx, pvy, pvz = _cross(rdx, rdy, rdz, bx_, by_, bz_)
-                    det = ax_ * pvx + ay_ * pvy + az_ * pvz
-                    inv_det = _safe_inv(det)
-                    tvx = rox - Q(3)
-                    tvy = roy - Q(4)
-                    tvz = roz - Q(5)
-                    uu = _dot(tvx, tvy, tvz, pvx, pvy, pvz) * inv_det
-                    qvx, qvy, qvz = _cross(tvx, tvy, tvz, ax_, ay_, az_)
-                    vv = _dot(rdx, rdy, rdz, qvx, qvy, qvz) * inv_det
-                    tt = (bx_ * qvx + by_ * qvy + bz_ * qvz) * inv_det
-                    miss = (uu < 0.0) | (uu > 1.0) | (vv < 0.0) | (uu + vv > 1.0) | (tt <= 0.0)
-                    miss = miss | (det < 0.0)  # backface cull like the jnp path
-                    t_q = jnp.minimum(t_q, jnp.where(miss, INFINITY, tt))
+                if fast_quads:
+                    # Parallelogram fast path (statically verified host-side:
+                    # v2 - v1 == v3 - v0 for every quad): ONE plane
+                    # intersection + dual-basis inside test, analytically
+                    # identical to the two Möller-Trumbore fans below —
+                    # including the cull (both fans' dets equal -rd·(e1×e3))
+                    # — at ~1/3 the vector-op count.  Scalar (SMEM) algebra
+                    # is hoisted out of the vector pipeline by Mosaic.
+                    e1x, e1y, e1z = Q(6) - Q(3), Q(7) - Q(4), Q(8) - Q(5)
+                    e3x, e3y, e3z = Q(12) - Q(3), Q(13) - Q(4), Q(14) - Q(5)
+                    ngx = e1y * e3z - e1z * e3y
+                    ngy = e1z * e3x - e1x * e3z
+                    ngz = e1x * e3y - e1y * e3x
+                    # dual basis (handles skewed parallelograms): a/b are the
+                    # e1/e3 parameters of the hit point
+                    d1x = e3y * ngz - e3z * ngy
+                    d1y = e3z * ngx - e3x * ngz
+                    d1z = e3x * ngy - e3y * ngx
+                    d3x = ngy * e1z - ngz * e1y
+                    d3y = ngz * e1x - ngx * e1z
+                    d3z = ngx * e1y - ngy * e1x
+                    den1 = e1x * d1x + e1y * d1y + e1z * d1z
+                    den3 = e3x * d3x + e3y * d3y + e3z * d3z
+                    k1 = 1.0 / jnp.where(jnp.abs(den1) > 1e-20, den1, 1.0)
+                    k3 = 1.0 / jnp.where(jnp.abs(den3) > 1e-20, den3, 1.0)
+                    c0 = Q(3) * ngx + Q(4) * ngy + Q(5) * ngz
+                    denom = rdx * ngx + rdy * ngy + rdz * ngz
+                    ron = rox * ngx + roy * ngy + roz * ngz
+                    tt = (c0 - ron) * _safe_inv(denom)
+                    hxq = rox + rdx * tt - Q(3)
+                    hyq = roy + rdy * tt - Q(4)
+                    hzq = roz + rdz * tt - Q(5)
+                    aa = (hxq * d1x + hyq * d1y + hzq * d1z) * k1
+                    bb = (hxq * d3x + hyq * d3y + hzq * d3z) * k3
+                    miss = (
+                        (tt <= 0.0)
+                        | (aa < 0.0) | (aa > 1.0)
+                        | (bb < 0.0) | (bb > 1.0)
+                        | (denom > 0.0)  # backface cull: det = -rd·ng < 0
+                    )
+                    t_q = jnp.where(miss, INFINITY, tt)
+                else:
+                    # two Möller-Trumbore fans: (v0,v1,v2) and (v0,v2,v3)
+                    t_q = jnp.full((tile_rows, tile_cols), INFINITY, f32)
+                    for (ax_, ay_, az_, bx_, by_, bz_) in (
+                        (Q(6) - Q(3), Q(7) - Q(4), Q(8) - Q(5), Q(9) - Q(3), Q(10) - Q(4), Q(11) - Q(5)),
+                        (Q(9) - Q(3), Q(10) - Q(4), Q(11) - Q(5), Q(12) - Q(3), Q(13) - Q(4), Q(14) - Q(5)),
+                    ):
+                        pvx, pvy, pvz = _cross(rdx, rdy, rdz, bx_, by_, bz_)
+                        det = ax_ * pvx + ay_ * pvy + az_ * pvz
+                        inv_det = _safe_inv(det)
+                        tvx = rox - Q(3)
+                        tvy = roy - Q(4)
+                        tvz = roz - Q(5)
+                        uu = _dot(tvx, tvy, tvz, pvx, pvy, pvz) * inv_det
+                        qvx, qvy, qvz = _cross(tvx, tvy, tvz, ax_, ay_, az_)
+                        vv = _dot(rdx, rdy, rdz, qvx, qvy, qvz) * inv_det
+                        tt = (bx_ * qvx + by_ * qvy + bz_ * qvz) * inv_det
+                        miss = (uu < 0.0) | (uu > 1.0) | (vv < 0.0) | (uu + vv > 1.0) | (tt <= 0.0)
+                        miss = miss | (det < 0.0)  # backface cull like the jnp path
+                        t_q = jnp.minimum(t_q, jnp.where(miss, INFINITY, tt))
                 closer = t_q < t_best
                 t_best = jnp.where(closer, t_q, t_best)
                 nx = jnp.where(closer, Q(0), nx)
@@ -1349,30 +1405,30 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             d_cnt = jnp.where(lane, new_dc, d_cnt)
             sharp = jnp.where(lane, new_sharp, sharp)
             prev_metal = (lane & b_metal) | (~lane & prev_metal)
-            prev_trans = (lane & b_trans) | (~lane & prev_trans)
+            if env_sky or env_hdri:
+                prev_trans = (lane & b_trans) | (~lane & prev_trans)
 
             if param_grads:
                 # every factor touching the hit object's color this bounce:
                 # DIFFUSE m*=hc·w, METAL m*=hc, CLEARCOAT base m*=base·hc·w,
                 # TRANSPARENT tinted refract m*=hc·tr/(1-p)  → ∂log f/∂c = 1/c;
                 # light hit acc=m·e → 1/e;  Beer-Lambert exp(0.01·t·log clip c)
-                # → 0.01·t/c gated to the clip's linear region.
+                # → 0.01·t/c gated to the clip's linear region.  The 1/c (and
+                # the per-channel clip gate) are applied host-side in f_bwd —
+                # c is the hit object's color constant, not per-lane data.
                 g_lin = b_diff | b_metal | (b_coat & ~go_refl_c) | lit
                 if cfg.transparent_tint:
                     g_lin = g_lin | (b_trans & ~go_refl_t)
                 g_lin_f = jnp.where(g_lin, 1.0, 0.0)
-                for c, hc_c in enumerate((hc_r, hc_g, hc_b)):
-                    contrib = g_lin_f / jnp.maximum(hc_c, 1e-8)
+                if not cfg.transparent_tint:
+                    beer_f = jnp.where(
+                        b_trans & ~go_refl_t & inside, 0.01 * t_best, 0.0
+                    )
+                for j in range(n_obj):
+                    mj = hid == f32(j)
+                    sg[j] = sg[j] + jnp.where(mj, g_lin_f, 0.0)
                     if not cfg.transparent_tint:
-                        beer = b_trans & ~go_refl_t & inside
-                        beer = beer & (hc_c > 0.01) & (hc_c < 0.99)
-                        contrib = contrib + jnp.where(
-                            beer, 0.01 * t_best / jnp.maximum(hc_c, 1e-8), 0.0
-                        )
-                    for j in range(n_obj):
-                        sg[j][c] = sg[j][c] + jnp.where(
-                            hid == f32(j), contrib, 0.0
-                        )
+                        sgb[j] = sgb[j] + jnp.where(mj, beer_f, 0.0)
 
         col_r[:] = jnp.maximum(acc_r, 0.0)
         col_g[:] = jnp.maximum(acc_g, 0.0)
@@ -1395,8 +1451,9 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
         if param_grads:
             sg_ref = maybe_sg[0]
             for j in range(n_obj):
-                for c in range(3):
-                    sg_ref[j * 3 + c] = sg[j][c]
+                sg_ref[j] = sg[j]
+                if sgb is not None:
+                    sg_ref[n_obj + j] = sgb[j]
 
     return kernel
 
@@ -1478,6 +1535,23 @@ def pack_camera(camera, width: int, height: int):
     ).astype(jnp.float32)
 
 
+def _all_parallelograms(quads) -> bool:
+    """Static host-side check gating the kernel's single-plane quad fast
+    path: every quad must satisfy v2 - v1 == v3 - v0 (a parallelogram, as
+    all reference demo quads do).  Returns False when the vertices are
+    traced (e.g. differentiating w.r.t. quad geometry) or non-concrete —
+    the kernel then keeps the generic two-fan Möller-Trumbore."""
+    import numpy as np
+
+    if quads is None:
+        return False
+    try:
+        v0, v1, v2, v3 = (np.asarray(v) for v in (quads.v0, quads.v1, quads.v2, quads.v3))
+    except Exception:
+        return False
+    return bool(np.allclose(v2 - v1, v3 - v0, atol=1e-5))
+
+
 def _blue_noise_planes(blue_noise, height, width, rand_vec2):
     """Per-pixel decision texel, gathered outside the kernel: (4, H, W)."""
     size = blue_noise.shape[0]
@@ -1490,8 +1564,8 @@ def _blue_noise_planes(blue_noise, height, width, rand_vec2):
     return jnp.moveaxis(jnp.mod(texel, 1.0), -1, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "tile_cols", "interpret", "param_grads"))
-def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False, param_grads=False):
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "tile_cols", "interpret", "param_grads", "fast_quads"))
+def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False, param_grads=False, fast_quads=False):
     quads, sph, qdr, mesh = packs
     n_quads = quads.shape[0]
     n_spheres = sph.shape[0] if sph is not None else 0
@@ -1502,7 +1576,7 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
     if has_mesh and tile_rows % 8:
         raise ValueError("mesh scenes need tile_rows % 8 == 0 (sub-packets)")
     n_out = 17 if cfg.env == "hdri" else 11
-    kernel = _make_kernel(cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width, height, param_grads, has_mesh=has_mesh, n_nodes_p=n_nodes_p)
+    kernel = _make_kernel(cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width, height, param_grads, has_mesh=has_mesh, n_nodes_p=n_nodes_p, fast_quads=fast_quads)
     grid = (height // tile_rows, width // tile_cols)
     plane = jax.ShapeDtypeStruct((height, width), jnp.float32)
     out_shape = [plane] * n_out
@@ -1510,9 +1584,10 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
         pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     ] * n_out
     if param_grads:
-        out_shape.append(jax.ShapeDtypeStruct((n_obj * 3, height, width), jnp.float32))
+        n_sg = n_obj if cfg.transparent_tint else 2 * n_obj
+        out_shape.append(jax.ShapeDtypeStruct((n_sg, height, width), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((n_obj * 3, tile_rows, tile_cols), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((n_sg, tile_rows, tile_cols), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
         )
     inputs = [cam, scalars, quads]
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1560,7 +1635,7 @@ def _zeros_ct(x):
 
 
 @functools.lru_cache(maxsize=64)
-def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile_cols: int, interpret: bool):
+def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile_cols: int, interpret: bool, fast_quads: bool = False):
     """Returns radiance(quads, sph, cam, scalars, bn) differentiable w.r.t.
     the packed material-color columns (quads[:,15:18], sph[:,16:19]) — the
     emission/albedo parameters of the Cornell-family inverse problem
@@ -1571,7 +1646,7 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
     cotangents; use the jnp integrator for camera/geometry gradients."""
 
     kw = dict(cfg=cfg, height=height, width=width, tile_rows=tile_rows,
-              tile_cols=tile_cols, interpret=interpret)
+              tile_cols=tile_cols, interpret=interpret, fast_quads=fast_quads)
     env_hdri = cfg.env == "hdri"
 
     @jax.custom_vjp
@@ -1583,12 +1658,22 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
             packs, cam, scalars, bn_planes, param_grads=True, **kw
         )
         mw = (outs[11], outs[12], outs[13]) if env_hdri else None
-        res = (outs[0], outs[1], outs[2], outs[9], mw, sgrad,
+        quads, sph, qdr, _mesh = packs
+        # (n_obj, 3) material colors in object-id order (spheres, quadrics,
+        # quads) — the constants the kernel's hit counts implicitly divide by.
+        parts = []
+        if sph is not None:
+            parts.append(sph[:, 16:19])
+        if qdr is not None:
+            parts.append(qdr[:, 16:19])
+        parts.append(quads[:, 15:18])
+        colors = jnp.concatenate(parts, axis=0)
+        res = (outs[0], outs[1], outs[2], outs[9], mw, sgrad, colors,
                jax.tree.map(_zeros_ct, packs, is_leaf=lambda x: x is None))
         return tuple(outs), res
 
     def f_bwd(res, cot):
-        cr, cg, cb, oid_plane, mw, sgrad, zpacks = res
+        cr, cg, cb, oid_plane, mw, sgrad, colors, zpacks = res
         zq, zs, zqd, _zmesh = zpacks
         n_s = zs.shape[0] if zs is not None else 0
         n_qd = zqd.shape[0] if zqd is not None else 0
@@ -1601,8 +1686,15 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
             # env-terminated paths: mw = m * env_w shares the path's
             # ∂log-throughput planes
             weighted = weighted + jnp.stack(cot[11:14]) * jnp.stack(mw)
-        sg = sgrad.reshape(n_obj, 3, height, width)
-        gcol = jnp.einsum("chw,jchw->jc", weighted, sg)
+        inv_c = 1.0 / jnp.maximum(colors, 1e-8)  # (n_obj, 3)
+        # ∂log f/∂c = 1/c per linear hit; + 0.01·t/c in the Beer clip's
+        # linear region (kernel planes carry the counts / Σ0.01·t).
+        gcol = jnp.einsum("chw,jhw->jc", weighted, sgrad[:n_obj]) * inv_c
+        if sgrad.shape[0] > n_obj:  # Beer-Lambert planes (absorption mode)
+            beer_gate = ((colors > 0.01) & (colors < 0.99)).astype(jnp.float32)
+            gcol = gcol + jnp.einsum(
+                "chw,jhw->jc", weighted, sgrad[n_obj:]
+            ) * beer_gate * inv_c
         # first-hit object_color record: d record_c / d color[j,c] = [oid == j]
         adj_oc = jnp.stack(cot[6:9])
         onehot = (oid_plane[None] == jnp.arange(n_obj, dtype=jnp.float32)[:, None, None])
@@ -1672,14 +1764,17 @@ def trace_image_pallas(
     else:
         sun = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
         sun_power = jnp.asarray(1.0, jnp.float32)
-    # Scalar sky terms (pure functions of the sun direction) precomputed
-    # host-side: Mosaic has no acos lowering for SunIntensity's arccos.
-    from bpt_tpu import sky as _sky
+    if cfg.env == "sky":
+        # Scalar sky terms (pure functions of the sun direction) precomputed
+        # host-side: Mosaic has no acos lowering for SunIntensity's arccos.
+        from bpt_tpu import sky as _sky
 
-    sun_e = _sky.sun_intensity(sun[1])
-    sunfade = 1.0 - jnp.clip(1.0 - jnp.exp(sun[1] / 450000.0), 0.0, 1.0)
-    sky_gamma = 1.0 / (1.2 + 1.2 * sunfade)
-    sky_blend = jnp.clip((1.0 - sun[1]) ** 5, 0.0, 1.0)
+        sun_e = _sky.sun_intensity(sun[1])
+        sunfade = 1.0 - jnp.clip(1.0 - jnp.exp(sun[1] / 450000.0), 0.0, 1.0)
+        sky_gamma = 1.0 / (1.2 + 1.2 * sunfade)
+        sky_blend = jnp.clip((1.0 - sun[1]) ** 5, 0.0, 1.0)
+    else:
+        sun_e = sky_gamma = sky_blend = jnp.asarray(0.0, jnp.float32)
     scalars = jnp.stack(
         [
             jnp.asarray(frame_counter, jnp.float32),
@@ -1697,12 +1792,14 @@ def trace_image_pallas(
     bn_planes = _blue_noise_planes(jnp.asarray(blue_noise), height, width, jnp.asarray(rand_vec2))
     tile_rows = min(tile_rows, height)
     tile_cols = min(tile_cols, width)
+    fast_quads = _all_parallelograms(scene.quads)
     if differentiable:
-        f = _prb_fn(cfg, height, width, tile_rows, tile_cols, interpret)
+        f = _prb_fn(cfg, height, width, tile_rows, tile_cols, interpret, fast_quads)
         outs = f(packs, cam, scalars, bn_planes)
     else:
         outs = _pallas_forward(
-            packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret
+            packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret,
+            fast_quads=fast_quads,
         )
     (cr, cg, cb, onx, ony, onz, ocr, ocg, ocb, oid, osh) = outs[:11]
     color = jnp.stack([cr, cg, cb], axis=-1)
