@@ -241,7 +241,14 @@ def intersect_mesh_bvh(mesh: TriangleMesh, ro: jnp.ndarray, rd: jnp.ndarray, bes
         + jnp.take(mesh.uv1, tid, axis=0) * u[..., None]
         + jnp.take(mesh.uv2, tid, axis=0) * v[..., None]
     )
-    n_world = normal_to_world(mesh.inv_matrix, normalize(n))
+    n = normalize(n)
+    if mesh.normal_map is not None:
+        # tangent-space normal mapping on the object-space smooth normal
+        # (GLTFModelPathTracing_FragmentShader.js:327-331)
+        from bpt_tpu.textures import perturb_normal
+
+        n = perturb_normal(n, mesh.normal_map, uv)
+    n_world = normal_to_world(mesh.inv_matrix, n)
 
     mat = jnp.where(
         jnp.asarray(has_albedo), jnp.int32(PBR_MATERIAL), mesh.mat_type.astype(jnp.int32)
@@ -274,8 +281,13 @@ def _intersect_mesh_packet(mesh, ro_o, rd_o, cull, best: Hit, id_base: int, inte
         interpret,
     )
     hit_ok = tri >= 0
-    n_world = normal_to_world(mesh.inv_matrix, normalize(n_obj))
     uv = jnp.stack([us, vs], axis=-1)
+    n_obj = normalize(n_obj)
+    if mesh.normal_map is not None:
+        from bpt_tpu.textures import perturb_normal
+
+        n_obj = perturb_normal(n_obj, mesh.normal_map, uv)
+    n_world = normal_to_world(mesh.inv_matrix, n_obj)
     has_albedo = mesh.albedo is not None
     mat = jnp.where(
         jnp.asarray(has_albedo), jnp.int32(PBR_MATERIAL), mesh.mat_type.astype(jnp.int32)

@@ -34,6 +34,39 @@ def sample_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
 
 
+def perturb_normal(n_obj: jnp.ndarray, normal_map: jnp.ndarray, uv: jnp.ndarray,
+                   normal_scale=(1.0, 1.0)) -> jnp.ndarray:
+    """Tangent-space normal mapping with an ad-hoc ONB — perturbNormal
+    (/root/reference/js/GLTFModelPathTracing_FragmentShader.js:72-92).
+
+    ``n_obj``: (..., 3) *object-space* shading normal (the reference applies
+    the perturbation before the world transform, :327-331).  The tangent
+    frame is the same cross-trick ONB the samplers use (no UV-derived
+    tangents in the reference either).  The reference's ST-flip check is a
+    mathematical no-op with this construction — T = cross(N, S) makes
+    cross(S, T) == N exactly — so it is omitted.  normal_scale mirrors the
+    vec2(1,1) call site (:329).
+    """
+    import jax.numpy as jnp
+
+    nl = n_obj / jnp.sqrt(jnp.maximum((n_obj * n_obj).sum(-1, keepdims=True), 1e-20))
+    up = jnp.where(
+        (jnp.abs(nl[..., 1:2]) < 0.9),
+        jnp.asarray([0.0, 1.0, 0.0]),
+        jnp.asarray([1.0, 0.0, 0.0]),
+    )
+    s = jnp.cross(up, nl)
+    s = s / jnp.sqrt(jnp.maximum((s * s).sum(-1, keepdims=True), 1e-20))
+    t = jnp.cross(nl, s)
+    map_n = sample_bilinear(normal_map, uv)[..., :3] * 2.0 - 1.0
+    map_n = map_n / jnp.sqrt(jnp.maximum((map_n * map_n).sum(-1, keepdims=True), 1e-20))
+    mx = map_n[..., 0:1] * normal_scale[0]
+    my = map_n[..., 1:2] * normal_scale[1]
+    mz = map_n[..., 2:3]
+    out = s * mx + t * my + nl * mz
+    return out / jnp.sqrt(jnp.maximum((out * out).sum(-1, keepdims=True), 1e-20))
+
+
 def sample_nearest(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor sample with REPEAT wrap (texelFetch-style)."""
     h, w = tex.shape[0], tex.shape[1]

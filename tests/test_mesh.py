@@ -178,3 +178,86 @@ def test_packet_traversal_matches_wavefront_with_node_padding():
     np.testing.assert_allclose(
         np.asarray(t_pk)[hit_pk], np.asarray(t_wf)[hit_wf], rtol=1e-5
     )
+
+
+def test_perturb_normal_identity_and_tilt():
+    """perturbNormal semantics (GLTFModelPathTracing_FragmentShader.js:72-92):
+    a flat (0.5, 0.5, 1) map is the identity; tilting the map's x channel
+    rotates the normal toward the cross-trick tangent S = cross(up, n)."""
+    from bpt_tpu.textures import perturb_normal
+
+    n = normalize(jnp.asarray([[0.3, 0.1, 0.9], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]]))
+    uv = jnp.full((3, 2), 0.5)
+    flat = jnp.full((4, 4, 3), 0.5).at[..., 2].set(1.0)
+    out = perturb_normal(n, flat, uv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(n), rtol=1e-5, atol=1e-6)
+
+    # map normal tilted toward +x in tangent space
+    tilted = jnp.full((4, 4, 3), 0.5).at[..., 0].set(1.0).at[..., 2].set(1.0)
+    out_t = np.asarray(perturb_normal(n, tilted, uv))
+    nn = np.asarray(n)
+    for i in range(3):
+        up = np.array([0.0, 1.0, 0.0]) if abs(nn[i, 1]) < 0.9 else np.array([1.0, 0.0, 0.0])
+        s = np.cross(up, nn[i])
+        s /= np.linalg.norm(s)
+        mapn = np.array([0.5, 0.0, 0.5])
+        mapn /= np.linalg.norm(mapn)
+        expect = s * mapn[0] + nn[i] * mapn[2]
+        expect /= np.linalg.norm(expect)
+        np.testing.assert_allclose(out_t[i], expect, rtol=1e-5, atol=1e-6)
+
+
+def test_normal_map_changes_mesh_shading_normal():
+    """A synthetic bump map visibly perturbs a mesh's first-hit normals on
+    both BVH walk backends, and a flat map does not."""
+    from bpt_tpu.integrator.intersect import scene_intersect
+    from bpt_tpu.io.gltf import GLTFModel
+    from bpt_tpu.scenes.gltf_scene import mesh_from_model
+    from bpt_tpu.scenes.types import Scene
+
+    # one big floor quad split in two triangles, normals +y, uv spanning [0,1]
+    # wound so the geometric normal faces +y (rays come from above;
+    # textured meshes are backface-culled)
+    p = np.array(
+        [
+            [[-50, -20, -50], [50, -20, 50], [50, -20, -50]],
+            [[-50, -20, -50], [-50, -20, 50], [50, -20, 50]],
+        ],
+        np.float32,
+    )
+    uvs = np.array(
+        [[[0, 0], [1, 1], [1, 0]], [[0, 0], [0, 1], [1, 1]]], np.float32
+    )
+    ny = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (2, 3, 1))
+    rng = np.random.default_rng(3)
+    bump = 0.5 + 0.3 * rng.standard_normal((16, 16, 3)).astype(np.float32)
+    bump[..., 2] = 1.0
+    flat = np.full((16, 16, 3), 0.5, np.float32)
+    flat[..., 2] = 1.0
+
+    def mk(nm):
+        model = GLTFModel(
+            p0=p[:, 0], p1=p[:, 1], p2=p[:, 2], n0=ny[:, 0], n1=ny[:, 1],
+            n2=ny[:, 2], uv0=uvs[:, 0], uv1=uvs[:, 1], uv2=uvs[:, 2],
+            albedo=np.full((4, 4, 3), 0.8, np.float32), normal_map=nm,
+            metallic_roughness=None, emissive=None,
+        )
+        return Scene(mesh=mesh_from_model(model, mat_type=1))
+
+    ro = jnp.asarray(np.stack(np.broadcast_arrays(
+        np.zeros((8, 8), np.float32), 20.0, np.zeros((8, 8), np.float32)), -1))
+    py, px = np.mgrid[0:8, 0:8].astype(np.float32)
+    # avoid the quad's triangle-seam diagonal (x == z): FP-tie lanes miss
+    rd = normalize(jnp.asarray(np.stack(
+        [(px - 3.7) / 8, -np.ones_like(px), (py - 4.2) / 9], -1)))
+
+    h_flat = scene_intersect(mk(flat), ro, rd)
+    h_bump = scene_intersect(mk(bump), ro, rd)
+    assert np.all(np.asarray(h_flat.t) < INFINITY)
+    # flat map == identity
+    np.testing.assert_allclose(
+        np.asarray(h_flat.normal), np.tile([0.0, 1.0, 0.0], (8, 8, 1)), atol=1e-5
+    )
+    # bump map perturbs most lanes away from +y
+    dev = 1.0 - np.asarray(h_bump.normal)[..., 1]
+    assert (dev > 1e-3).mean() > 0.8, dev
