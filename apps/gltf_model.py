@@ -21,7 +21,8 @@ PRESETS = {
 def main():
     p = base_parser("glTF model path tracer")
     p.add_argument("--pallas", action="store_true",
-                   help="fused Pallas megakernel (untextured models)")
+                   help="fused Pallas megakernel (textured models use the "
+                        "deferred-PBR composition)")
     p.add_argument("--model", choices=sorted(PRESETS), default="teapot")
     p.add_argument("--models-dir", default="/root/reference/models")
     p.add_argument("--mat", type=int, default=3, help="model material when untextured")
@@ -41,8 +42,6 @@ def main():
     cfg = IntegratorConfig(bounces=args.bounces, metal_roughness_lobe=model.albedo is not None)
     r = ProgressiveRenderer(scene, cfg, args.size, args.size)
     if args.pallas:
-        if model.albedo is not None:
-            raise SystemExit("--pallas covers untextured models (try teapot/bunny)")
         from bpt_tpu.kernels.integration import attach_pallas_path
 
         attach_pallas_path(r)

@@ -57,8 +57,6 @@ def main():
     )
     r = ProgressiveRenderer(scene, cfg, args.size, args.size)
     if args.pallas:
-        if model.albedo is not None:
-            raise SystemExit("--pallas covers untextured models (try teapot/bunny)")
         from bpt_tpu.kernels.integration import attach_pallas_path
 
         attach_pallas_path(r)

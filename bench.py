@@ -33,21 +33,29 @@ def bench_gltf(args):
     from bpt_tpu.kernels.megakernel import trace_image_pallas
     from bpt_tpu.scenes.gltf_scene import gltf_camera, gltf_scene, mesh_from_model
 
+    presets = {"teapot": ("UtahTeapot.glb", 130.0, True),
+               "bunny": ("StanfordBunny.glb", 0.05, True),
+               "duck": ("Duck.gltf", 10.0, False),
+               "helmet": ("DamagedHelmet.gltf", 15.0, True)}
+    name, scale, flip = presets[args.model]
     model = load_gltf(
-        os.path.join("/root/reference/models", "UtahTeapot.glb"),
-        initial_scale=130.0, flip_z=True,
+        os.path.join("/root/reference/models", name),
+        initial_scale=scale, flip_z=flip,
     )
     mesh = mesh_from_model(model, mat_type=3)
     scene = gltf_scene(mesh)
-    cfg = IntegratorConfig(bounces=args.bounces)
+    cfg = IntegratorConfig(bounces=args.bounces,
+                           metal_roughness_lobe=model.albedo is not None)
     cam = gltf_camera()
     h = w = args.size
     bn = jnp.asarray(blue_noise_table())
     rv = jnp.asarray([0.3, 0.7], jnp.float32)
 
-    def k_frames(frame0):
+    # scene rides the jit ARGUMENTS (not closure constants): packed PBR
+    # textures are hundreds of MB and would blow up the serialized HLO
+    def k_frames(s, frame0):
         def body(acc, fc):
-            r = trace_image_pallas(scene, cam, cfg, w, h, fc, rv, bn)
+            r = trace_image_pallas(s, cam, cfg, w, h, fc, rv, bn)
             return acc + r.color, None
 
         out, _ = jax.lax.scan(
@@ -57,16 +65,16 @@ def bench_gltf(args):
         return out
 
     step = jax.jit(k_frames)
-    jax.block_until_ready(step(jnp.asarray(2.0, jnp.float32)))
+    jax.block_until_ready(step(scene, jnp.asarray(2.0, jnp.float32)))
     t0 = time.perf_counter()
     for i in range(args.iters):
-        out = step(jnp.asarray(2.0 + i * args.frames, jnp.float32))
+        out = step(scene, jnp.asarray(2.0 + i * args.frames, jnp.float32))
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / args.iters
     rays_per_s = h * w * args.bounces * args.frames / dt
     print(json.dumps({
         "metric": f"rays/s/chip fwd {h}x{w} {args.bounces} bounces "
-                  "(teapot glTF, fused megakernel + in-loop BVH walk)",
+                  f"({args.model} glTF, fused megakernel + in-loop BVH walk)",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / (1e9 / 16.0), 4),
@@ -83,6 +91,8 @@ def main():
     p.add_argument("--xla", action="store_true",
                    help="unfused XLA wavefront path (default: fused Pallas "
                         "megakernel with path-replay parameter gradients)")
+    p.add_argument("--model", default="teapot",
+                   choices=("teapot", "bunny", "duck", "helmet"))
     p.add_argument("--tile-rows", type=int, default=32)
     p.add_argument("--tile-cols", type=int, default=256)
     p.add_argument("--scene", choices=("cornell", "gltf"), default="cornell",

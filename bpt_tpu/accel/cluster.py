@@ -193,9 +193,14 @@ def pack_clustered_dense(
     uv1: np.ndarray,
     uv2: np.ndarray,
     leaf_size: int = 16,
+    tri_attr: np.ndarray | None = None,
 ) -> DenseClusteredBVH:
     """Clusterize + pack into the fused megakernel's 4-triangles-per-row
-    layout (see DenseClusteredBVH)."""
+    layout (see DenseClusteredBVH).
+
+    ``tri_attr``: optional (T, <=8) per-triangle attribute floats placed in
+    the record's free slots 24..31 — the fused kernel's PBR material-decision
+    attributes (see scenes.gltf_scene.bake_triangle_attrs)."""
     node_min, node_max, rec, tri_order = clusterize_bvh(bvh, leaf_size)
     n_nodes = len(rec)
 
@@ -227,9 +232,21 @@ def pack_clustered_dense(
     rec32[real, 18:20] = uv0[o]
     rec32[real, 20:22] = uv1[o]
     rec32[real, 22:24] = uv2[o]
+    if tri_attr is not None:
+        na = tri_attr.shape[1]
+        assert na <= 8, "only 8 free floats per 32-float record"
+        rec32[real, 24:24 + na] = tri_attr[o]
     rows[:] = rec32.reshape(n_rows + rpad, 128)
 
     npad = -n_nodes % 8
+    # float-encoded links are exact only below 2^24; fail loudly, not with
+    # silently-corrupt traversal (advisor r2 finding)
+    if max(n_nodes + npad, n_rows + rpad) >= 1 << 24:
+        raise ValueError(
+            f"mesh too large for the float-linked dense pack: "
+            f"{n_nodes + npad} nodes / {n_rows + rpad} rows >= 2^24; "
+            f"use the wavefront / packet-kernel path"
+        )
     nodes_f = np.zeros((n_nodes + npad, 16), np.float32)
     nodes_f[:n_nodes, 0:3] = node_min
     nodes_f[:n_nodes, 3:6] = node_max

@@ -247,7 +247,7 @@ def intersect_mesh_bvh(mesh: TriangleMesh, ro: jnp.ndarray, rd: jnp.ndarray, bes
         # (GLTFModelPathTracing_FragmentShader.js:327-331)
         from bpt_tpu.textures import perturb_normal
 
-        n = perturb_normal(n, mesh.normal_map, uv)
+        n = perturb_normal(n, mesh.normal_map, uv, packed=mesh.normal_map_q)
     n_world = normal_to_world(mesh.inv_matrix, n)
 
     mat = jnp.where(
@@ -286,7 +286,7 @@ def _intersect_mesh_packet(mesh, ro_o, rd_o, cull, best: Hit, id_base: int, inte
     if mesh.normal_map is not None:
         from bpt_tpu.textures import perturb_normal
 
-        n_obj = perturb_normal(n_obj, mesh.normal_map, uv)
+        n_obj = perturb_normal(n_obj, mesh.normal_map, uv, packed=mesh.normal_map_q)
     n_world = normal_to_world(mesh.inv_matrix, n_obj)
     has_albedo = mesh.albedo is not None
     mat = jnp.where(

@@ -62,7 +62,7 @@ from bpt_tpu.scenes.types import (
     Scene,
 )
 from bpt_tpu.sky import get_sky_color
-from bpt_tpu.textures import sample_bilinear
+from bpt_tpu.textures import sample_mesh_tex
 
 
 class RadianceResult(NamedTuple):
@@ -211,10 +211,10 @@ def calculate_radiance(
         mesh = scene.mesh
         if mesh is not None and mesh.albedo is not None:
             is_pbr = lane & (mat == PBR_MATERIAL)
-            albedo = jnp.power(jnp.maximum(sample_bilinear(mesh.albedo, hit.uv), 0.0), 2.2)
+            albedo = jnp.power(jnp.maximum(sample_mesh_tex(mesh.albedo, mesh.albedo_q, hit.uv), 0.0), 2.2)
             hit_color = _where3(is_pbr, albedo, hit_color)
             if mesh.emissive is not None:
-                emission = jnp.power(jnp.maximum(sample_bilinear(mesh.emissive, hit.uv), 0.0), 2.2)
+                emission = jnp.power(jnp.maximum(sample_mesh_tex(mesh.emissive, mesh.emissive_q, hit.uv), 0.0), 2.2)
                 max_emission = jnp.max(emission, axis=-1)
                 emissive_hit = is_pbr & spec & (max_emission > 0.01)
                 sharp = jnp.where(emissive_hit, 1.01, sharp)
@@ -224,7 +224,7 @@ def calculate_radiance(
                 is_pbr = is_pbr & ~emissive_hit
             mat = jnp.where(is_pbr, DIFFUSE, mat)
             if mesh.metallic_roughness is not None:
-                mr = jnp.power(jnp.maximum(sample_bilinear(mesh.metallic_roughness, hit.uv), 0.0), 2.2)
+                mr = jnp.power(jnp.maximum(sample_mesh_tex(mesh.metallic_roughness, mesh.metallic_roughness_q, hit.uv), 0.0), 2.2)
                 mat = jnp.where(is_pbr & (mr[..., 1] > 0.01), CLEARCOAT_DIFFUSE, mat)
                 mat = jnp.where(is_pbr & (mr[..., 2] > 0.01), METAL, mat)
                 mr_g = jnp.where(is_pbr, mr[..., 1], mr_g)

@@ -469,7 +469,7 @@ def _safe_inv_slab(x):
     return jnp.where(jnp.abs(x) < 1e-20, 1e20, 1.0 / jnp.where(x == 0.0, 1.0, x))
 
 
-def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, active=None):
+def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, active=None, textured=False):
     """Escape-linked packet walk of the dense clustered BVH for ONE
     sub-packet of rays — the fused-kernel analog of the reference's 28-deep
     per-pixel stack traversal (GLTFModelPathTracing_FragmentShader.js:206-298)
@@ -487,7 +487,10 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
 
     Returns (t, nx, ny, nz, u, v, hit) with the interpolated *object-space*
     shading normal (unnormalized) and texture UV; hit = lane found a
-    triangle closer than t_init.
+    triangle closer than t_init.  With ``textured=True`` three more planes
+    follow hit: the winning triangle's baked PBR decision attributes
+    (mat_class, roughness, emissive_flag — record floats 24..26, see
+    scenes.gltf_scene.bake_triangle_attrs).
     """
     rox, roy, roz = ro_o
     rdx, rdy, rdz = rd_o
@@ -501,7 +504,7 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
         return c[0] < n_nodes_p
 
     def body(c):
-        i, t_best, nx, ny, nz, us, vs = c
+        i, t_best, nx, ny, nz, us, vs, *attrs = c
         nf = nodes_f_ref[pl.ds(i, 1), :]  # (1, 16): min max esc row0 nrows
         tx0 = (nf[0, 0] - rox) * invx
         tx1 = (nf[0, 3] - rox) * invx
@@ -533,7 +536,8 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
 
         def leaf_fn(c2):
             def row_body(k, c3):
-                t_best, nx, ny, nz, us, vs = c3
+                t_best, nx, ny, nz, us, vs, *attrs = c3
+                attrs = list(attrs)
                 row = tris_ref[pl.ds(row0 + k, 1), :]  # (1, 128): 4 records
                 for j in range(4):
                     o = 32 * j
@@ -571,23 +575,31 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
                     nz = jnp.where(closer, inz, nz)
                     us = jnp.where(closer, iu, us)
                     vs = jnp.where(closer, iv, vs)
-                return (t_best, nx, ny, nz, us, vs)
+                    if textured:
+                        # baked PBR decision attrs (class, rough, emissive)
+                        attrs = [
+                            jnp.where(closer, row[0, o + 24 + a], attrs[a])
+                            for a in range(3)
+                        ]
+                return (t_best, nx, ny, nz, us, vs, *attrs)
 
             return jax.lax.fori_loop(0, nrows, row_body, c2)
 
-        leaf_state = (t_best, nx, ny, nz, us, vs)
-        t_best, nx, ny, nz, us, vs = jax.lax.cond(
+        leaf_state = (t_best, nx, ny, nz, us, vs, *attrs)
+        t_best, nx, ny, nz, us, vs, *attrs = jax.lax.cond(
             any_hit & is_leaf, leaf_fn, lambda c2: c2, leaf_state
         )
         next_i = jnp.where(any_hit & jnp.logical_not(is_leaf), i + 1, esc)
-        return (next_i, t_best, nx, ny, nz, us, vs)
+        return (next_i, t_best, nx, ny, nz, us, vs, *attrs)
 
     # NB: no boolean plane rides the carry (Mosaic cannot yield vector<i1>);
     # "found a hit" is recovered as t_best < t_init afterwards — exact, since
     # any accepted triangle strictly lowered t from its t_init start.
     carry = (jnp.int32(0), t_init, zeros, zeros, zeros, zeros, zeros)
-    _, t_best, nx, ny, nz, us, vs = jax.lax.while_loop(cond, body, carry)
-    return t_best, nx, ny, nz, us, vs, t_best < t_init
+    if textured:
+        carry = carry + (zeros, zeros, zeros)
+    _, t_best, nx, ny, nz, us, vs, *attrs = jax.lax.while_loop(cond, body, carry)
+    return (t_best, nx, ny, nz, us, vs, t_best < t_init, *attrs)
 
 
 def _smoothstep(e0, e1, x):
@@ -690,8 +702,10 @@ _QUADRIC_INTERSECTORS = (
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False, has_mesh: bool = False, n_nodes_p: int = 0, fast_quads: bool = False):
+def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False, has_mesh: bool = False, n_nodes_p: int = 0, fast_quads: bool = False, mesh_textured: bool = False, sub_rows: int = 0):
     eps = cfg.eps_intersect
+    if sub_rows <= 0:
+        sub_rows = tile_rows
     light_i = cfg.light_index if cfg.light_index >= 0 else n_quads - 1
     n_obj = n_spheres + n_quadrics + n_quads
     env_sky = cfg.env == "sky"
@@ -734,6 +748,15 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
         if env_hdri:
             (mw_r_o, mw_g_o, mw_b_o, md_x_o, md_y_o, md_z_o) = args[i_arg:i_arg + 6]
             i_arg += 6
+        if mesh_textured:
+            # deferred PBR records: per-bounce albedo-factor UVs (u < 0 ⇒
+            # no factor this bounce) + one emissive-terminal record
+            # (throughput + UV) — the texel fetches happen outside the
+            # kernel, exactly once per plane (see trace_image_pallas).
+            alb_uv_o = args[i_arg:i_arg + 2 * cfg.bounces]
+            i_arg += 2 * cfg.bounces
+            (em_r_o, em_g_o, em_b_o, em_u_o, em_v_o) = args[i_arg:i_arg + 5]
+            i_arg += 5
         maybe_sg = args[i_arg:]
         f32 = jnp.float32
         row0 = pl.program_id(0) * tile_rows
@@ -850,6 +873,14 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             md_x = zeros
             md_y = zeros
             md_z = zeros
+
+        if mesh_textured:
+            alb_records = []  # per bounce: (u-or-minus-one, v)
+            em_w_r = zeros
+            em_w_g = zeros
+            em_w_b = zeros
+            em_u = zeros
+            em_v = zeros
 
         # path-replay ∂log-throughput accumulators.  One plane per OBJECT
         # (not per object-channel): every linear throughput factor equals
@@ -1046,16 +1077,38 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                 mrd_y = MM(1, 0) * rdx + MM(1, 1) * rdy + MM(1, 2) * rdz
                 mrd_z = MM(2, 0) * rdx + MM(2, 1) * rdy + MM(2, 2) * rdz
                 cull_m = mesh_s_ref[17] > 0.5
-                # One whole-tile packet per bounce: a shared scalar cursor
-                # over more lanes skips fewer subtrees, but compiles 4x less
-                # code than per-(8,C) sub-packets and repeats every scalar
-                # node/triangle fetch once per tile instead of once per
-                # sub-packet — measured faster on all demo meshes.
-                t_m, mnx, mny, mnz, _mu, _mv, hit_m = _mesh_walk(
-                    (mro_x, mro_y, mro_z), (mrd_x, mrd_y, mrd_z),
-                    cull_m, mnodes_f_ref, mtris_ref,
-                    n_nodes_p, t_best, active=(alive if bounce else None),
-                )
+                # Packet granularity: a shared scalar cursor over more lanes
+                # skips fewer subtrees.  sub_rows == tile_rows → one
+                # whole-tile packet (least code, every scalar fetch once per
+                # tile — fastest for coherent/small meshes like the teapot);
+                # sub_rows == 8 → per-(8, cols) sub-packets whose unions stay
+                # tight under secondary-bounce divergence (measured ~2× on
+                # DamagedHelmet-class meshes, worth the repeated fetches).
+                if sub_rows >= tile_rows:
+                    walk = _mesh_walk(
+                        (mro_x, mro_y, mro_z), (mrd_x, mrd_y, mrd_z),
+                        cull_m, mnodes_f_ref, mtris_ref,
+                        n_nodes_p, t_best, active=(alive if bounce else None),
+                        textured=mesh_textured,
+                    )
+                else:
+                    parts = []
+                    for s0 in range(0, tile_rows, sub_rows):
+                        sl = slice(s0, s0 + sub_rows)
+                        walk_s = _mesh_walk(
+                            (mro_x[sl], mro_y[sl], mro_z[sl]),
+                            (mrd_x[sl], mrd_y[sl], mrd_z[sl]),
+                            cull_m, mnodes_f_ref, mtris_ref,
+                            n_nodes_p, t_best[sl],
+                            active=(alive[sl] if bounce else None),
+                            textured=mesh_textured,
+                        )
+                        parts.append(walk_s)
+                    walk = tuple(
+                        jnp.concatenate([p[k] for p in parts], axis=0)
+                        for k in range(len(parts[0]))
+                    )
+                t_m, mnx, mny, mnz, m_u, m_v, hit_m = walk[:7]
                 hit_m = hit_m & alive if bounce else hit_m
                 # world shading normal: transpose(inv3x3) @ n_obj
                 wnx = MM(0, 0) * mnx + MM(1, 0) * mny + MM(2, 0) * mnz
@@ -1067,11 +1120,21 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                 ny = jnp.where(hit_m, wny, ny)
                 nz = jnp.where(hit_m, wnz, nz)
                 # hitColor forced to white — slots 6-7 reserved-but-unused in
-                # the reference too (GLTFModelPathTracing_FragmentShader.js:334)
+                # the reference too (GLTFModelPathTracing_FragmentShader.js:334);
+                # textured albedo is DEFERRED (uv planes), so hc stays white
+                # on the fused path too.
                 hc_r = jnp.where(hit_m, 1.0, hc_r)
                 hc_g = jnp.where(hit_m, 1.0, hc_g)
                 hc_b = jnp.where(hit_m, 1.0, hc_b)
-                mat = jnp.where(hit_m, mesh_s_ref[16], mat)
+                if mesh_textured:
+                    # per-triangle baked decisions (wavefront decode analog,
+                    # radiance.py PBR block / GLTF...js:434-462): class is
+                    # the already-thresholded DIFFUSE/METAL/CLEARCOAT id
+                    cls_pl, rough_pl, emis_pl = walk[7:10]
+                    mat = jnp.where(hit_m, cls_pl, mat)
+                    pbr_hit = hit_m
+                else:
+                    mat = jnp.where(hit_m, mesh_s_ref[16], mat)
                 hid = jnp.where(hit_m, f32(oid_counter), hid)
                 oid_counter += 1
 
@@ -1180,6 +1243,21 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             alive = alive & ~(lane & samp_l)
             lane = alive
 
+            # ---- PBR emissive terminal (deferred value fetch) -----------
+            if mesh_textured:
+                # decision from the baked per-triangle flag; the emission
+                # VALUE is fetched texel-exact outside the kernel
+                # (radiance.py emissive block / GLTF...js:439-447)
+                em_hit = lane & pbr_hit & spec & (emis_pl > 0.5)
+                em_w_r = jnp.where(em_hit, m_r, em_w_r)
+                em_w_g = jnp.where(em_hit, m_g, em_w_g)
+                em_w_b = jnp.where(em_hit, m_b, em_w_b)
+                em_u = jnp.where(em_hit, m_u, em_u)
+                em_v = jnp.where(em_hit, m_v, em_v)
+                sharp = jnp.where(em_hit, 1.01, sharp)
+                alive = alive & ~em_hit
+                lane = alive
+
             # ---- fixed-schedule draws -----------------------------------
             ch1 = (2 * bounce) % 4
             ch2 = (2 * bounce + 1) % 4
@@ -1230,13 +1308,17 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                     0.0, -(dlx * lnx + dly * lny + dlz * lnz)
                 ) * dot_nl
                 lw = jnp.clip(lw, 0.0, 1.0)
-            else:
+            # lobe draws shared by sun NEE and the PBR metal lobe, exactly
+            # as the wavefront's single use_lobe draw site (radiance.py)
+            use_lobe = (cfg.nee == "sun") or cfg.metal_roughness_lobe
+            if use_lobe:
+                lc_, sx, sy = _rng_next(sx, sy)
+                lp_, sx, sy = _rng_next(sx, sy)
+            if not has_quad_light:
                 # sun NEE: specular lobe about uSunDirection, roughness 0.1,
                 # weight cosθ·0.05 (PhysicalSkyModel_FragmentShader.js:250-256)
                 import math as _math
 
-                lc_, sx, sy = _rng_next(sx, sy)
-                lp_, sx, sy = _rng_next(sx, sy)
                 rough = cfg.sun_lobe_roughness
                 exponent = 7.0 * (1.0 - _math.sqrt(rough))
                 power = 1.0 / (_math.exp(exponent) + 1.0)
@@ -1289,6 +1371,31 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
 
             # METAL (perfect mirror in the Cornell family)
             rfx, rfy, rfz = _reflect(rdx, rdy, rdz, nlx, nly, nlz)
+            if cfg.metal_roughness_lobe:
+                # randomDirectionInSpecularLobe(reflect, roughness) with the
+                # per-lane baked PBR roughness (0 off-mesh ⇒ exact mirror),
+                # mirroring core.sampling.specular_lobe_from_uniforms
+                mrough = jnp.clip(rough_pl if mesh_textured else zeros, 0.0, 1.0)
+                mexp = 7.0 * (1.0 - _safe_sqrt(mrough))
+                mct = _pow_c(lc_, 1.0 / (jnp.exp(mexp) + 1.0))
+                mst = _safe_sqrt(1.0 - mct * mct)
+                mphi = lp_ * TWO_PI
+                r_up = jnp.abs(rfy) < 0.9
+                rhx = jnp.where(r_up, 0.0, 1.0)
+                rhy = jnp.where(r_up, 1.0, 0.0)
+                rux, ruy, ruz = _cross(rhx, rhy, zeros, rfx, rfy, rfz)
+                rux, ruy, ruz = _normalize(rux, ruy, ruz)
+                rvx, rvy, rvz = _cross(rfx, rfy, rfz, rux, ruy, ruz)
+                lbx = rux * (jnp.cos(mphi) * mst) + rvx * (jnp.sin(mphi) * mst) + rfx * mct
+                lby = ruy * (jnp.cos(mphi) * mst) + rvy * (jnp.sin(mphi) * mst) + rfy * mct
+                lbz = ruz * (jnp.cos(mphi) * mst) + rvz * (jnp.sin(mphi) * mst) + rfz * mct
+                rmx, rmy, rmz = _normalize(
+                    rfx + (lbx - rfx) * mrough,
+                    rfy + (lby - rfy) * mrough,
+                    rfz + (lbz - rfz) * mrough,
+                )
+            else:
+                rmx, rmy, rmz = rfx, rfy, rfz
 
             # TRANSPARENT: Fresnel with geometric n
             cosi = jnp.clip(_dot(rdx, rdy, rdz, nx, ny, nz), -1.0, 1.0)
@@ -1372,10 +1479,19 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                 0.0,
             )
 
+            if mesh_textured:
+                # deferred albedo factor: branches that multiply throughput
+                # by hit_color on a textured-mesh hit (DIFFUSE, METAL,
+                # CLEARCOAT base) — composed outside as Π albedo(uv_b)^flag
+                alb_f = pbr_hit & (b_diff | b_metal | (b_coat & ~go_refl_c))
+                alb_records.append(
+                    (jnp.where(alb_f, m_u, -1.0), jnp.where(alb_f, m_v, 0.0))
+                )
+
             # ---- merge --------------------------------------------------
-            new_rdx = jnp.where(b_diff, rd_dx, jnp.where(b_metal, rfx, jnp.where(b_trans, rd_tx, jnp.where(b_coat, rd_cx, rdx))))
-            new_rdy = jnp.where(b_diff, rd_dy, jnp.where(b_metal, rfy, jnp.where(b_trans, rd_ty, jnp.where(b_coat, rd_cy, rdy))))
-            new_rdz = jnp.where(b_diff, rd_dz, jnp.where(b_metal, rfz, jnp.where(b_trans, rd_tz, jnp.where(b_coat, rd_cz, rdz))))
+            new_rdx = jnp.where(b_diff, rd_dx, jnp.where(b_metal, rmx, jnp.where(b_trans, rd_tx, jnp.where(b_coat, rd_cx, rdx))))
+            new_rdy = jnp.where(b_diff, rd_dy, jnp.where(b_metal, rmy, jnp.where(b_trans, rd_ty, jnp.where(b_coat, rd_cy, rdy))))
+            new_rdz = jnp.where(b_diff, rd_dz, jnp.where(b_metal, rmz, jnp.where(b_trans, rd_tz, jnp.where(b_coat, rd_cz, rdz))))
             off = jnp.where(b_trans, off_t, eps)
             new_rox = xx + nlx * off
             new_roy = xy + nly * off
@@ -1448,6 +1564,15 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             md_x_o[:] = md_x
             md_y_o[:] = md_y
             md_z_o[:] = md_z
+        if mesh_textured:
+            for b, (au, av) in enumerate(alb_records):
+                alb_uv_o[2 * b][:] = au
+                alb_uv_o[2 * b + 1][:] = av
+            em_r_o[:] = em_w_r
+            em_g_o[:] = em_w_g
+            em_b_o[:] = em_w_b
+            em_u_o[:] = em_u
+            em_v_o[:] = em_v
         if param_grads:
             sg_ref = maybe_sg[0]
             for j in range(n_obj):
@@ -1553,19 +1678,24 @@ def _all_parallelograms(quads) -> bool:
 
 
 def _blue_noise_planes(blue_noise, height, width, rand_vec2):
-    """Per-pixel decision texel, gathered outside the kernel: (4, H, W)."""
+    """Per-pixel decision texel: (4, H, W).
+
+    The fetch index is (pixel + shared_offset) mod size — a uniform SHIFT of
+    the whole table, not a per-pixel gather — so it lowers to roll + tile
+    (pure data movement; XLA's per-element gather costs ~15 cycles/texel and
+    would dominate small frames)."""
     size = blue_noise.shape[0]
     ox = jnp.floor(rand_vec2[0] * size).astype(jnp.int32)
     oy = jnp.floor(rand_vec2[1] * size).astype(jnp.int32)
-    py, px = jnp.mgrid[0:height, 0:width]
-    ix = jnp.mod(px + ox, size)
-    iy = jnp.mod(py + oy, size)
-    texel = blue_noise[iy, ix]  # (H, W, 4)
-    return jnp.moveaxis(jnp.mod(texel, 1.0), -1, 0)
+    rolled = jnp.roll(jnp.mod(blue_noise, 1.0), shift=(-oy, -ox), axis=(0, 1))
+    reps_y = -(-height // size)
+    reps_x = -(-width // size)
+    tiled = jnp.tile(rolled, (reps_y, reps_x, 1))[:height, :width]
+    return jnp.moveaxis(tiled, -1, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "tile_cols", "interpret", "param_grads", "fast_quads"))
-def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False, param_grads=False, fast_quads=False):
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "tile_cols", "interpret", "param_grads", "fast_quads", "mesh_textured", "sub_rows"))
+def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False, param_grads=False, fast_quads=False, mesh_textured=False, sub_rows=0):
     quads, sph, qdr, mesh = packs
     n_quads = quads.shape[0]
     n_spheres = sph.shape[0] if sph is not None else 0
@@ -1574,9 +1704,23 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
     has_mesh = mesh is not None
     n_nodes_p = mesh[1].shape[0] if has_mesh else 0
     if has_mesh and tile_rows % 8:
-        raise ValueError("mesh scenes need tile_rows % 8 == 0 (sub-packets)")
+        raise ValueError(
+            "mesh scenes need tile_rows % 8 == 0 (the f32 VMEM row tiling "
+            "is (8, 128); tile heights must align to whole sublane tiles)"
+        )
+    if has_mesh:
+        # whole dense pack must fit VMEM alongside the path state (~16 MB/core)
+        mesh_bytes = (mesh[1].size + mesh[2].size) * 4
+        if mesh_bytes > 12 * 1024 * 1024:
+            raise ValueError(
+                f"mesh pack is {mesh_bytes / 1e6:.0f} MB — beyond the fused "
+                "kernel's VMEM budget (~12 MB for node+triangle tables); "
+                "use the wavefront path (its packet kernel streams per-tile)"
+            )
     n_out = 17 if cfg.env == "hdri" else 11
-    kernel = _make_kernel(cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width, height, param_grads, has_mesh=has_mesh, n_nodes_p=n_nodes_p, fast_quads=fast_quads)
+    if mesh_textured:
+        n_out += 2 * cfg.bounces + 5  # per-bounce albedo UVs + emissive terminal
+    kernel = _make_kernel(cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width, height, param_grads, has_mesh=has_mesh, n_nodes_p=n_nodes_p, fast_quads=fast_quads, mesh_textured=mesh_textured, sub_rows=sub_rows)
     grid = (height // tile_rows, width // tile_cols)
     plane = jax.ShapeDtypeStruct((height, width), jnp.float32)
     out_shape = [plane] * n_out
@@ -1635,7 +1779,7 @@ def _zeros_ct(x):
 
 
 @functools.lru_cache(maxsize=64)
-def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile_cols: int, interpret: bool, fast_quads: bool = False):
+def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile_cols: int, interpret: bool, fast_quads: bool = False, mesh_textured: bool = False, sub_rows: int = 0):
     """Returns radiance(quads, sph, cam, scalars, bn) differentiable w.r.t.
     the packed material-color columns (quads[:,15:18], sph[:,16:19]) — the
     emission/albedo parameters of the Cornell-family inverse problem
@@ -1646,8 +1790,11 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
     cotangents; use the jnp integrator for camera/geometry gradients."""
 
     kw = dict(cfg=cfg, height=height, width=width, tile_rows=tile_rows,
-              tile_cols=tile_cols, interpret=interpret, fast_quads=fast_quads)
+              tile_cols=tile_cols, interpret=interpret, fast_quads=fast_quads,
+              mesh_textured=mesh_textured, sub_rows=sub_rows)
     env_hdri = cfg.env == "hdri"
+    # index of the emissive-terminal throughput planes among the outputs
+    em_idx = (17 if env_hdri else 11) + 2 * cfg.bounces if mesh_textured else None
 
     @jax.custom_vjp
     def f(packs, cam, scalars, bn_planes):
@@ -1658,6 +1805,7 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
             packs, cam, scalars, bn_planes, param_grads=True, **kw
         )
         mw = (outs[11], outs[12], outs[13]) if env_hdri else None
+        emw = (outs[em_idx], outs[em_idx + 1], outs[em_idx + 2]) if em_idx else None
         quads, sph, qdr, _mesh = packs
         # (n_obj, 3) material colors in object-id order (spheres, quadrics,
         # quads) — the constants the kernel's hit counts implicitly divide by.
@@ -1668,12 +1816,12 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
             parts.append(qdr[:, 16:19])
         parts.append(quads[:, 15:18])
         colors = jnp.concatenate(parts, axis=0)
-        res = (outs[0], outs[1], outs[2], outs[9], mw, sgrad, colors,
+        res = (outs[0], outs[1], outs[2], outs[9], mw, emw, sgrad, colors,
                jax.tree.map(_zeros_ct, packs, is_leaf=lambda x: x is None))
         return tuple(outs), res
 
     def f_bwd(res, cot):
-        cr, cg, cb, oid_plane, mw, sgrad, colors, zpacks = res
+        cr, cg, cb, oid_plane, mw, emw, sgrad, colors, zpacks = res
         zq, zs, zqd, _zmesh = zpacks
         n_s = zs.shape[0] if zs is not None else 0
         n_qd = zqd.shape[0] if zqd is not None else 0
@@ -1686,6 +1834,9 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
             # env-terminated paths: mw = m * env_w shares the path's
             # ∂log-throughput planes
             weighted = weighted + jnp.stack(cot[11:14]) * jnp.stack(mw)
+        if emw is not None:
+            # emissive-terminated paths likewise: em_w = m at termination
+            weighted = weighted + jnp.stack(cot[em_idx:em_idx + 3]) * jnp.stack(emw)
         inv_c = 1.0 / jnp.maximum(colors, 1e-8)  # (n_obj, 3)
         # ∂log f/∂c = 1/c per linear hit; + 0.01·t/c in the Beer clip's
         # linear region (kernel planes carry the counts / Σ0.01·t).
@@ -1742,15 +1893,23 @@ def trace_image_pallas(
     custom_vjp: gradients flow to quad/sphere/quadric material colors (incl.
     the light emission) at ~forward cost; env 'hdri' additionally gets exact
     HDR-image/exposure gradients through the outer equirect composition.
-    Other leaves get zero cotangents.  Textured (PBR) meshes stay on the
-    wavefront path.
+    Other leaves get zero cotangents.
+
+    Textured (PBR) meshes run fused too: the kernel walks the BVH in-loop,
+    takes material decisions from per-triangle baked attributes
+    (scenes.gltf_scene.bake_triangle_attrs), and DEFERS the albedo/emissive
+    texel fetches via per-bounce UV planes composed here — values are
+    bilinear-texel-exact, decisions are per-triangle (the documented
+    approximation; the wavefront path decides per texel).
     """
     from bpt_tpu.integrator.radiance import RadianceResult
 
-    assert cfg.env in ("none", "sky", "hdri") and not cfg.metal_roughness_lobe
+    assert cfg.env in ("none", "sky", "hdri")
     assert (cfg.env == "none") == (cfg.nee == "quad")
-    if scene.mesh is not None:
-        assert scene.mesh.albedo is None, "textured meshes: wavefront path"
+    if cfg.metal_roughness_lobe:
+        assert scene.mesh is not None and scene.mesh.albedo is not None, (
+            "metal_roughness_lobe needs a textured mesh (per-lane roughness)"
+        )
     packs = pack_scene(scene) + (pack_mesh(scene),)
     cam = pack_camera(camera, width, height)
     shape_k = (
@@ -1793,16 +1952,26 @@ def trace_image_pallas(
     tile_rows = min(tile_rows, height)
     tile_cols = min(tile_cols, width)
     fast_quads = _all_parallelograms(scene.quads)
+    mesh_textured = scene.mesh is not None and scene.mesh.albedo is not None
+    # Packet granularity heuristic: big meshes diverge more than the
+    # whole-tile shared cursor tolerates — drop to (8, cols) sub-packets
+    # past ~8K triangles (teapot-class meshes stay whole-tile).
+    sub_rows = 0
+    if scene.mesh is not None and scene.mesh.fz_tris is not None:
+        if int(scene.mesh.fz_tris.shape[0]) > 2048:
+            sub_rows = 8
     if differentiable:
-        f = _prb_fn(cfg, height, width, tile_rows, tile_cols, interpret, fast_quads)
+        f = _prb_fn(cfg, height, width, tile_rows, tile_cols, interpret,
+                    fast_quads, mesh_textured, sub_rows)
         outs = f(packs, cam, scalars, bn_planes)
     else:
         outs = _pallas_forward(
             packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret,
-            fast_quads=fast_quads,
+            fast_quads=fast_quads, mesh_textured=mesh_textured, sub_rows=sub_rows,
         )
     (cr, cg, cb, onx, ony, onz, ocr, ocg, ocb, oid, osh) = outs[:11]
     color = jnp.stack([cr, cg, cb], axis=-1)
+    n_base = 11
     if cfg.env == "hdri":
         # deferred equirect fetch: exactly one env lookup per path, outside
         # the kernel (Get_HDR_Color, HDRIEnvironmentPathTracing_
@@ -1814,6 +1983,42 @@ def trace_image_pallas(
         color = color + mw * get_hdr_color(
             scene.env.hdr_image, mdir, scene.env.hdr_exposure
         )
+        n_base = 17
+    if mesh_textured:
+        # Deferred PBR composition.  Every path contributes radiance at
+        # exactly ONE terminal event, so the per-bounce albedo factors
+        # (which always precede it) factor out of the kernel exactly:
+        # color_total = (kernel_color [+ env] + em_w·emission) · Π albedo.
+        # Texel values are bilinear-exact (sRGB pow 2.2 decode,
+        # GLTFModelPathTracing_FragmentShader.js:434-447); only the
+        # branch DECISIONS are per-triangle (bake_triangle_attrs).
+        from bpt_tpu.textures import sample_mesh_tex
+
+        if scene.mesh.emissive is not None:
+            em_w = jnp.stack(outs[n_base + 2 * cfg.bounces:
+                                  n_base + 2 * cfg.bounces + 3], axis=-1)
+            em_uv = jnp.stack(outs[n_base + 2 * cfg.bounces + 3:
+                                   n_base + 2 * cfg.bounces + 5], axis=-1)
+            emission = jnp.power(
+                jnp.maximum(sample_mesh_tex(scene.mesh.emissive,
+                                            scene.mesh.emissive_q, em_uv), 0.0), 2.2
+            )
+            color = color + em_w * emission
+        prod = jnp.ones_like(color)
+        for b in range(cfg.bounces):
+            au = outs[n_base + 2 * b]
+            av = outs[n_base + 2 * b + 1]
+            has_f = (au >= 0.0)[..., None]
+            alb = jnp.power(
+                jnp.maximum(
+                    sample_mesh_tex(scene.mesh.albedo, scene.mesh.albedo_q,
+                                    jnp.stack([au, av], -1)),
+                    0.0,
+                ),
+                2.2,
+            )
+            prod = prod * jnp.where(has_f, alb, 1.0)
+        color = color * prod
     return RadianceResult(
         color=color,
         object_normal=jnp.stack([onx, ony, onz], axis=-1),

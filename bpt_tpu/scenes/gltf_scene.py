@@ -45,6 +45,52 @@ WALL_RADIUS = 50.0
 SPHERE_RADIUS = 16.0
 
 
+def bake_triangle_attrs(model: GLTFModel) -> np.ndarray:
+    """Per-triangle PBR material-DECISION attributes for the fused megakernel.
+
+    The reference decides the material branch per texel from the decoded
+    metallicRoughness / emissive textures inside the bounce loop
+    (GLTFModelPathTracing_FragmentShader.js:434-462).  The TPU fused kernel
+    cannot gather per-lane texels mid-loop (Mosaic has no general gather),
+    so the *decisions* are baked per triangle here — sampled at the three
+    vertex UVs + the centroid, sRGB-decoded (pow 2.2) and averaged, then
+    thresholded exactly like the shader — while the continuous albedo /
+    emissive *values* stay texel-exact via the kernel's deferred UV planes.
+
+    Returns (T, 4) float32: [mat_class (DIFFUSE/METAL/CLEARCOAT ids),
+    roughness (decoded G mean, drives the metal lobe), emissive_flag,
+    spare].
+    """
+    from bpt_tpu.scenes.types import CLEARCOAT_DIFFUSE as _COAT
+    from bpt_tpu.scenes.types import DIFFUSE as _DIFF
+    from bpt_tpu.scenes.types import METAL as _METAL
+
+    T = model.p0.shape[0]
+    attr = np.zeros((T, 4), np.float32)
+    taps = [model.uv0, model.uv1, model.uv2,
+            (model.uv0 + model.uv1 + model.uv2) / 3.0]
+
+    def sample_mean(tex):
+        h, w = tex.shape[0], tex.shape[1]
+        acc = np.zeros((T, tex.shape[2]), np.float64)
+        for uv in taps:
+            xi = np.mod(np.floor(uv[:, 0] * w).astype(np.int64), w)
+            yi = np.mod(np.floor(uv[:, 1] * h).astype(np.int64), h)
+            acc += np.power(np.maximum(tex[yi, xi], 0.0), 2.2)
+        return (acc / len(taps)).astype(np.float32)
+
+    attr[:, 0] = float(_DIFF)
+    if model.metallic_roughness is not None:
+        mr = sample_mean(np.asarray(model.metallic_roughness))
+        attr[:, 0] = np.where(mr[:, 1] > 0.01, float(_COAT), attr[:, 0])
+        attr[:, 0] = np.where(mr[:, 2] > 0.01, float(_METAL), attr[:, 0])
+        attr[:, 1] = mr[:, 1]
+    if model.emissive is not None:
+        em = sample_mean(np.asarray(model.emissive))
+        attr[:, 2] = (em.max(axis=1) > 0.01).astype(np.float32)
+    return attr
+
+
 def mesh_from_model(
     model: GLTFModel,
     mat_type: int = METAL,
@@ -69,13 +115,20 @@ def mesh_from_model(
         bvh, model.p0, model.p1, model.p2, model.n0, model.n1, model.n2,
         model.uv0, model.uv1, model.uv2,
     )
+    tri_attr = bake_triangle_attrs(model) if model.albedo is not None else None
     fz = pack_clustered_dense(
         bvh, model.p0, model.p1, model.p2, model.n0, model.n1, model.n2,
         model.uv0, model.uv1, model.uv2, leaf_size=leaf_size,
+        tri_attr=tri_attr,
     )
 
     def dev(a):
         return None if a is None else jnp.asarray(a)
+
+    def qp(a):
+        from bpt_tpu.textures import quad_pack
+
+        return None if a is None else quad_pack(a)
 
     return TriangleMesh(
         pk_nodes_f=jnp.asarray(pk.nodes_f),
@@ -103,6 +156,10 @@ def mesh_from_model(
         normal_map=dev(model.normal_map),
         metallic_roughness=dev(model.metallic_roughness),
         emissive=dev(model.emissive),
+        albedo_q=qp(model.albedo),
+        normal_map_q=qp(model.normal_map),
+        metallic_roughness_q=qp(model.metallic_roughness),
+        emissive_q=qp(model.emissive),
     )
 
 

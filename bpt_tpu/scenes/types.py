@@ -132,6 +132,13 @@ class TriangleMesh(NamedTuple):
     # the scene and the renderer stays on the wavefront path.
     fz_nodes_f: Optional[jnp.ndarray] = None  # (Np, 16) f32: aabb + links
     fz_tris: Optional[jnp.ndarray] = None  # (Rp, 128) f32
+    # Quad-packed (H, W, 12) twins of the PBR maps (textures.quad_pack):
+    # one gather per bilinear sample instead of four — the sampling paths
+    # prefer these when present (results are bit-equal).
+    albedo_q: Optional[jnp.ndarray] = None
+    normal_map_q: Optional[jnp.ndarray] = None
+    metallic_roughness_q: Optional[jnp.ndarray] = None
+    emissive_q: Optional[jnp.ndarray] = None
 
 
 class Environment(NamedTuple):

@@ -180,3 +180,18 @@ def test_fresnel_energy_bounds():
     re, _ = calc_fresnel_reflectance(rd, n, 1.0, 1.5)
     re = np.asarray(re)
     assert (re >= 0.0).all() and (re <= 1.0).all()
+
+
+def test_quad_pack_bilinear_bit_equal():
+    """sample_bilinear_packed fetches the same texels with the same combine
+    order as sample_bilinear — results must be bit-equal."""
+    import numpy as np
+
+    from bpt_tpu.textures import quad_pack, sample_bilinear, sample_bilinear_packed
+
+    rng = np.random.default_rng(11)
+    tex = jnp.asarray(rng.random((17, 23, 3), np.float32))
+    uv = jnp.asarray(rng.uniform(-1.5, 2.5, (64, 2)).astype(np.float32))
+    a = sample_bilinear(tex, uv)
+    b = sample_bilinear_packed(quad_pack(tex), uv)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -192,3 +192,71 @@ def test_megakernel_hdri_parity():
     frac_bad, q95 = _lane_stats(ref, out)
     assert frac_bad < 0.02, frac_bad
     assert q95 < 1e-3, q95
+
+
+def _textured_mesh(mr_value, emissive_value=None, T=21):
+    """Random blob with per-vertex UVs, per-texel-varying albedo and spatially
+    CONSTANT decision maps — per-triangle baked decisions then agree exactly
+    with the wavefront's per-texel decisions, so fused/wavefront parity is
+    the usual FP-tie-only story."""
+    from bpt_tpu.io.gltf import GLTFModel
+    from bpt_tpu.scenes.gltf_scene import mesh_from_model
+
+    rng = np.random.default_rng(7)
+    c = rng.normal(0, 8, (T, 1, 3)).astype(np.float32)
+    tri = (c + rng.normal(0, 3, (T, 3, 3))).astype(np.float32)
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-9
+    uv = rng.uniform(0, 1, (T, 3, 2)).astype(np.float32)
+    albedo = rng.uniform(0.1, 1.0, (32, 32, 3)).astype(np.float32)
+    mr = np.tile(np.asarray(mr_value, np.float32), (8, 8, 1))
+    em = (
+        None if emissive_value is None
+        else np.tile(np.asarray(emissive_value, np.float32), (8, 8, 1))
+    )
+    model = GLTFModel(p0=tri[:, 0], p1=tri[:, 1], p2=tri[:, 2], n0=n, n1=n,
+                     n2=n, uv0=uv[:, 0], uv1=uv[:, 1], uv2=uv[:, 2],
+                     albedo=albedo, normal_map=None,
+                     metallic_roughness=mr, emissive=em)
+    return mesh_from_model(model, mat_type=1)
+
+
+@pytest.mark.parametrize("mr,lobe", [
+    ((0.0, 0.25, 0.0), False),   # roughness>0.01 -> CLEARCOAT class
+    ((0.0, 0.3, 0.8), True),     # metalness>0.01 -> METAL + roughness lobe
+])
+def test_megakernel_textured_pbr_parity(mr, lobe):
+    """Fused deferred-PBR path (per-bounce albedo UV planes + baked
+    decisions) vs the wavefront integrator with constant decision maps."""
+    from bpt_tpu.scenes.gltf_scene import gltf_camera, gltf_scene
+
+    scene = gltf_scene(_textured_mesh(mr))
+    cfg = IntegratorConfig(bounces=3, metal_roughness_lobe=lobe)
+    cam = gltf_camera()
+    h, w = 32, 128
+    ref = trace_image(scene, cam, cfg, w, h, 2.0, RV, BN)
+    out = trace_image_pallas(scene, cam, cfg, w, h, 2.0, RV, BN,
+                             tile_rows=32, tile_cols=128, interpret=True)
+    frac_bad, q95 = _lane_stats(ref, out)
+    assert frac_bad < 0.02, frac_bad
+    assert q95 < 1e-3, q95
+
+
+def test_megakernel_textured_emissive_parity():
+    """Emissive-terminal deferral: constant emissive map terminates specular
+    paths as a light with the texel-exact emission value."""
+    from bpt_tpu.scenes.gltf_scene import gltf_camera, gltf_scene
+
+    scene = gltf_scene(_textured_mesh((0.0, 0.25, 0.0),
+                                      emissive_value=(0.4, 0.2, 0.1)))
+    cfg = IntegratorConfig(bounces=3)
+    cam = gltf_camera()
+    h, w = 32, 128
+    ref = trace_image(scene, cam, cfg, w, h, 2.0, RV, BN)
+    out = trace_image_pallas(scene, cam, cfg, w, h, 2.0, RV, BN,
+                             tile_rows=32, tile_cols=128, interpret=True)
+    frac_bad, q95 = _lane_stats(ref, out)
+    assert frac_bad < 0.02, frac_bad
+    assert q95 < 1e-3, q95
+    # emissive-terminated lanes exist and match
+    assert float(np.mean(np.asarray(out.color).max(-1) > 0.0)) > 0.2
