@@ -109,23 +109,44 @@ class BlueNoise(NamedTuple):
     count: jnp.ndarray  # int32 draw counter (starts at 0 == first call)
 
 
-def blue_noise_table(size: int = 256) -> np.ndarray:
-    """Build a (size, size, 4) float32 decision-noise table.
+_BLUE_NOISE_PNG = "/root/reference/textures/BlueNoise_RGBA256.png"
+_bn_cache: dict = {}
 
-    The reference ships a pre-baked 256x256 RGBA blue-noise PNG
-    (textures/BlueNoise_RGBA256.png).  We synthesize our own table with
-    interleaved-gradient noise (Jimenez 2014), a standard closed-form
-    blue-noise substitute for threshold decisions: per-channel phase offsets
-    decorrelate the four channels.  Deterministic, dependency-free, and cheap
-    enough to build at import time.
+
+def blue_noise_table(size: int = 256, path: str | None = None) -> np.ndarray:
+    """(size, size, 4) float32 decision-noise table.
+
+    Loads the reference's pre-baked 256x256 RGBA blue-noise asset
+    (textures/BlueNoise_RGBA256.png — the texture behind blueNoise_rand's
+    visible-noise quality, README.md:45) when present and the size matches.
+    Falls back to synthesized interleaved-gradient noise (Jimenez 2014, a
+    closed-form blue-noise substitute for threshold decisions with
+    per-channel phase offsets) when the asset or PIL is unavailable.
     """
+    key = (size, path)
+    if key in _bn_cache:
+        return _bn_cache[key]
+    p = path or _BLUE_NOISE_PNG
+    if size == 256:
+        try:
+            from PIL import Image
+
+            with Image.open(p) as im:
+                arr = np.asarray(im.convert("RGBA"), np.float32) / 255.0
+            if arr.shape[:2] == (size, size):
+                _bn_cache[key] = arr
+                return arr
+        except Exception:
+            pass
     y, x = np.mgrid[0:size, 0:size].astype(np.float64)
     chans = []
     # Per-channel offsets: shift the lattice by large co-prime strides.
     for ox, oy in ((0.0, 0.0), (97.0, 31.0), (53.0, 151.0), (211.0, 71.0)):
         v = np.modf(52.9829189 * np.modf(0.06711056 * (x + ox) + 0.00583715 * (y + oy))[0])[0]
         chans.append(v)
-    return np.stack(chans, axis=-1).astype(np.float32)
+    out = np.stack(chans, axis=-1).astype(np.float32)
+    _bn_cache[key] = out
+    return out
 
 
 def blue_noise_fetch(table: jnp.ndarray, px, py, rand_vec2) -> BlueNoise:

@@ -195,3 +195,26 @@ def test_quad_pack_bilinear_bit_equal():
     a = sample_bilinear(tex, uv)
     b = sample_bilinear_packed(quad_pack(tex), uv)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_blue_noise_table_uses_shipped_asset():
+    """The 256-table must be the reference's baked PNG byte-for-byte
+    (textures/BlueNoise_RGBA256.png); other sizes use the IGN fallback."""
+    import numpy as np
+
+    from bpt_tpu.core.rng import blue_noise_table
+
+    t = blue_noise_table()
+    assert t.shape == (256, 256, 4) and t.dtype == np.float32
+    try:
+        from PIL import Image
+
+        ref = np.asarray(
+            Image.open("/root/reference/textures/BlueNoise_RGBA256.png").convert("RGBA"),
+            np.float32,
+        ) / 255.0
+    except Exception:
+        return  # asset unavailable: fallback path is exercised elsewhere
+    np.testing.assert_array_equal(t, ref)
+    f = blue_noise_table(size=64)
+    assert f.shape == (64, 64, 4)

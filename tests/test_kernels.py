@@ -260,3 +260,26 @@ def test_megakernel_textured_emissive_parity():
     assert q95 < 1e-3, q95
     # emissive-terminated lanes exist and match
     assert float(np.mean(np.asarray(out.color).max(-1) > 0.0)) > 0.2
+
+
+@pytest.mark.parametrize("mat,tint", [(4, True), (TRANSPARENT, True), (1, True)])
+def test_megakernel_quadric_parity(mat, tint):
+    """Fused transformed-quadric family (12 in-kernel unit intersectors incl.
+    the 500-step torus march) vs the jnp integrator — the
+    Transformed_Quadric_Geometry demo config (transparent_tint)."""
+    from bpt_tpu.scenes.quadric_geometry import quadric_camera, quadric_geometry_scene
+
+    scene = quadric_geometry_scene(shape_k=0.35, all_shapes_mat=mat)
+    camera = quadric_camera()
+    cfg = IntegratorConfig(bounces=3, transparent_tint=tint)
+    h, w = 64, 128
+    ref = trace_image(scene, camera, cfg, w, h, 2.0, RV, BN)
+    got = trace_image_pallas(scene, camera, cfg, w, h, 2.0, RV, BN,
+                             tile_rows=32, tile_cols=128, interpret=True)
+    frac_bad, q95 = _lane_stats(ref, got)
+    # quadric silhouettes + the torus SDF march give more FP-tie lanes than
+    # the Cornell test; tolerance is statistical like the mesh test
+    assert frac_bad < 0.02, frac_bad
+    assert q95 < 1e-3, q95
+    idm = np.mean(np.asarray(ref.object_id) != np.asarray(got.object_id))
+    assert idm < 0.02, idm
