@@ -29,6 +29,9 @@ def synthetic_hdr(h=256, w=512, sun_uv=(0.7, 0.3), sun_power=40.0):
 
 def main():
     p = base_parser("HDRI environment path tracer")
+    p.add_argument("--nee", choices=("sun", "env"), default="sun",
+                   help="'sun' = reference sun-lobe NEE; 'env' = luminance-"
+                        "CDF importance sampling (wavefront only)")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas megakernel (untextured models)")
     p.add_argument("--model", default="duck")
@@ -51,10 +54,12 @@ def main():
     hdr = read_hdr(args.hdr) if args.hdr else synthetic_hdr()
     scene = hdri_scene(mesh, hdr, hdr_exposure=args.hdr_exposure, sun_power=args.sun_power)
     cfg = IntegratorConfig(
-        bounces=args.bounces, env="hdri", nee="sun", sun_weight_mode="hdri",
+        bounces=args.bounces, env="hdri", nee=args.nee, sun_weight_mode="hdri",
         sun_lobe_roughness=0.03, diffuse_indirect_max=2,
         metal_roughness_lobe=model.albedo is not None,
     )
+    if args.pallas and args.nee == "env":
+        raise SystemExit("--nee env is wavefront-only (no in-kernel CDF search)")
     r = ProgressiveRenderer(scene, cfg, args.size, args.size)
     if args.pallas:
         from bpt_tpu.kernels.integration import attach_pallas_path

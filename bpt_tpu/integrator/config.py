@@ -21,7 +21,9 @@ class IntegratorConfig:
     #: Environment on ray miss: "none" (Cornell/quadrics), "sky" (Preetham),
     #: "hdri" (equirect map).
     env: str = "none"
-    #: Next-event-estimation target: "quad" (area light) or "sun" (sky/HDRI).
+    #: Next-event-estimation target: "quad" (area light), "sun" (sky/HDRI
+    #: reference semantics), or "env" (HDRI importance sampling via the
+    #: luminance CDF — BASELINE mandate; no reference analog, wavefront-only).
     nee: str = "quad"
     #: Which quad in scene.quads is the light (reference: quads[5]); -1 = last.
     light_index: int = -1

@@ -123,7 +123,7 @@ def calculate_radiance(
         lv0, lv1, lv2, lv3 = (scene.quads.v0[li], scene.quads.v1[li], scene.quads.v2[li], scene.quads.v3[li])
         l_normal = normalize(scene.quads.normal[li])
     sun_dir = scene.env.sun_direction if scene.env is not None else None
-    use_lobe = cfg.nee == "sun" or cfg.metal_roughness_lobe
+    use_lobe = cfg.nee in ("sun", "env") or cfg.metal_roughness_lobe
 
     frame_counter = jnp.asarray(frame_counter, f32)
 
@@ -163,7 +163,14 @@ def calculate_radiance(
                 if cfg.env == "hdri":
                     c4 = c4 & (bounce < 3)
                 c5 = d_count > 0
-                sun_clip = jnp.where(sun_cos < 0.99, 1.0, 0.0)
+                if cfg.nee == "env":
+                    # env importance sampling covers the WHOLE environment at
+                    # every diffuse vertex, so BSDF-sampled env hits after a
+                    # diffuse bounce would double count: c5 contributes 0
+                    # (the sun-disc clip generalized to the full map).
+                    sun_clip = jnp.zeros_like(sun_cos)
+                else:
+                    sun_clip = jnp.where(sun_cos < 0.99, 1.0, 0.0)
                 chosen = jnp.where(
                     c2[..., None] | c3[..., None],
                     mask * env_color,
@@ -257,6 +264,20 @@ def calculate_radiance(
                 sun_weight = sun_cos_w * (sp * sp * 1.0e-7)
             else:
                 sun_weight = sun_cos_w * 0.05
+        if cfg.nee == "env":
+            # HDRI importance sampling (BASELINE mandate; no reference
+            # analog): inverse-CDF draw over the luminance x sin(theta)
+            # marginals, Lambertian weight cos/(pi*pdf) — the env radiance
+            # itself is picked up by the shadow ray's miss (case c3), so the
+            # estimator is albedo/pi * L * cos / pdf, unbiased for direct
+            # env lighting at every diffuse/coat vertex.
+            from bpt_tpu.env import EnvCDF, sample_env_cdf
+
+            env_nee_dir, env_pdf = sample_env_cdf(
+                EnvCDF(*scene.env.env_cdf), lc, lp
+            )
+            env_cos_w = jnp.maximum(0.0, dot(env_nee_dir, nl))
+            env_weight = env_cos_w / (jnp.pi * jnp.maximum(env_pdf, 1e-8))
 
         b_diff = lane & (mat == DIFFUSE)
         b_metal = lane & (mat == METAL)
@@ -269,6 +290,8 @@ def calculate_radiance(
         go_indirect_d = (d_count_diff <= cfg.diffuse_indirect_max) & (gate1 < 0.5)
         if cfg.nee == "quad":
             nee_dir, nee_w = light_dir, light_weight
+        elif cfg.nee == "env":
+            nee_dir, nee_w = env_nee_dir, env_weight
         else:
             nee_dir, nee_w = sun_nee_dir, sun_weight
         rd_diff = _where3(go_indirect_d, hem_dir, nee_dir)

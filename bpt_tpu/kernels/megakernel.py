@@ -1905,6 +1905,9 @@ def trace_image_pallas(
     from bpt_tpu.integrator.radiance import RadianceResult
 
     assert cfg.env in ("none", "sky", "hdri")
+    assert cfg.nee in ("quad", "sun"), (
+        "nee='env' (CDF importance sampling) is wavefront-only: the "
+        "per-lane inverse-CDF search has no in-kernel gather path")
     assert (cfg.env == "none") == (cfg.nee == "quad")
     if cfg.metal_roughness_lobe:
         assert scene.mesh is not None and scene.mesh.albedo is not None, (

@@ -203,11 +203,14 @@ def hdri_scene(
     ]
     if sun_direction is None:
         sun_direction = sun_direction_from_hdr(hdr_image)
+    from bpt_tpu.env import build_env_cdf
+
     env = Environment(
         sun_direction=jnp.asarray(sun_direction, jnp.float32),
         sun_power=jnp.asarray(sun_power, jnp.float32),
         hdr_image=jnp.asarray(hdr_image, jnp.float32),
         hdr_exposure=jnp.asarray(hdr_exposure, jnp.float32),
+        env_cdf=build_env_cdf(hdr_image),
     )
     return Scene(quads=quads_from_rows(rows), spheres=_demo_spheres(), mesh=mesh, env=env)
 

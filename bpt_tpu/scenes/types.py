@@ -152,6 +152,9 @@ class Environment(NamedTuple):
     sun_power: jnp.ndarray  # scalar (uSunPower, HDRI scenes)
     hdr_image: Optional[jnp.ndarray] = None  # (H, W, 3) float equirect
     hdr_exposure: jnp.ndarray = None  # scalar (uHDRExposure)
+    #: Luminance-CDF tables for nee == "env" (bpt_tpu.env.build_env_cdf);
+    #: None when only sun NEE is used.
+    env_cdf: Optional[tuple] = None
 
 
 class Scene(NamedTuple):

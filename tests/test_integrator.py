@@ -123,3 +123,105 @@ def test_progressive_renderer_display_range():
     assert img.shape == (RES, RES, 3)
     assert (img >= 0).all() and (img <= 1).all()
     assert float(r.state.sample_counter) == 4.0
+
+
+# ---------------------------------------------------------------------------
+# HDRI importance-sampled NEE (nee="env")
+# ---------------------------------------------------------------------------
+
+def _env_test_scene(hdr):
+    """Single diffuse floor + HDRI env: direct lighting is analytically
+    integrable by quadrature over the hemisphere."""
+    from bpt_tpu.env import build_env_cdf, sun_direction_from_hdr
+    from bpt_tpu.scenes.types import DIFFUSE, Environment, Scene, make_quad, quads_from_rows
+
+    w = 50.0
+    rows = [make_quad((0, 1, 0), (-w, 0, w), (w, 0, w), (w, 0, -w), (-w, 0, -w),
+                      (0.8, 0.6, 0.4), DIFFUSE)]
+    env = Environment(
+        sun_direction=jnp.asarray(sun_direction_from_hdr(hdr), jnp.float32),
+        sun_power=jnp.asarray(4.0, jnp.float32),
+        hdr_image=jnp.asarray(hdr, jnp.float32),
+        hdr_exposure=jnp.asarray(1.0, jnp.float32),
+        env_cdf=build_env_cdf(hdr),
+    )
+    return Scene(quads=quads_from_rows(rows), env=env)
+
+
+def _spiky_hdr(h=32, w=64):
+    """Night-scene-with-bulbs: near-black base + a few very bright texels —
+    the regime where BSDF sampling almost never finds the light and
+    luminance-CDF importance sampling is the whole game."""
+    rng = np.random.default_rng(5)
+    img = 0.002 * np.ones((h, w, 3), np.float32)
+    # rows > h/2 are the UPPER hemisphere (v = acos(-y)/pi convention)
+    for (y, x, v) in ((20, 10, 200.0), (24, 45, 150.0), (28, 30, 300.0)):
+        img[y, x] = v
+    img += 0.001 * rng.random((h, w, 3)).astype(np.float32)
+    return img
+
+
+def _render_frames(scene, cfg, n_frames, res=16):
+    from bpt_tpu.camera import Camera
+    from bpt_tpu.integrator.frame import trace_image
+
+    # looking straight down at the floor (pitch +pi/2 tips forward to -y)
+    cam = Camera.look(position=(0.0, 30.0, 0.0), pitch=1.5707, fov=0.6)
+    bn = jnp.asarray(blue_noise_table())
+    frames = []
+    for f in range(n_frames):
+        rv = jnp.asarray([(f * 0.173) % 1.0, (f * 0.519) % 1.0], jnp.float32)
+        r = trace_image(scene, cam, cfg, res, res, float(f + 2), rv, bn)
+        frames.append(np.asarray(r.color))
+    return np.stack(frames)
+
+
+def _direct_truth(hdr):
+    """0.5 * albedo/pi * hemisphere quadrature of L cosθ (the integrator's
+    50/50 indirect gate halves the direct estimator; the indirect branch
+    contributes 0 for a floor-only scene under env NEE)."""
+    from bpt_tpu.env import get_hdr_color
+
+    th = (np.arange(64) + 0.5) / 64 * (np.pi / 2)
+    ph = (np.arange(128) + 0.5) / 128 * (2 * np.pi)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    dirs = np.stack([np.sin(T) * np.sin(P), np.cos(T), np.sin(T) * np.cos(P)], -1)
+    L = np.asarray(get_hdr_color(jnp.asarray(hdr), jnp.asarray(dirs.reshape(-1, 3)), 1.0))
+    w_ = (np.cos(T) * np.sin(T)).reshape(-1, 1) * (np.pi / 2 / 64) * (2 * np.pi / 128)
+    return 0.5 * np.array([0.8, 0.6, 0.4]) / np.pi * (L * w_).sum(axis=0)
+
+
+def test_env_nee_unbiased_vs_quadrature():
+    """nee='env' direct lighting converges to the quadrature truth.
+
+    Averaged over the center floor pixels (same integral per pixel — the
+    env is at infinity and the floor normal is uniform) x frames to beat
+    the estimator's horizon-rejection variance."""
+    hdr = _spiky_hdr()
+    scene = _env_test_scene(hdr)
+    cfg = IntegratorConfig(bounces=2, env="hdri", nee="env")
+    frames = _render_frames(scene, cfg, 200)
+    got = frames[:, 4:12, 4:12].mean(axis=(0, 1, 2))
+    np.testing.assert_allclose(got, _direct_truth(hdr), rtol=0.12)
+
+
+def test_env_nee_mse_below_sun_nee():
+    """BASELINE mandate check: on a multi-spike HDR, importance-sampled env
+    NEE's equal-spp MSE against the quadrature truth is far below the
+    reference's sun-lobe NEE (which is blind to off-sun lights and carries
+    the near-zero cos*sunPower^2*1e-7 weight)."""
+    hdr = _spiky_hdr()
+    scene = _env_test_scene(hdr)
+    truth = _direct_truth(hdr).sum()
+    n = 64
+
+    def mse(nee):
+        cfg = IntegratorConfig(bounces=2, env="hdri", nee=nee,
+                               sun_weight_mode="hdri", sun_lobe_roughness=0.03)
+        fr = _render_frames(scene, cfg, n).sum(axis=-1)  # luminance-ish
+        est = fr.mean(axis=0)[4:12, 4:12]  # per-pixel n-frame estimates
+        return float(((est - truth) ** 2).mean())
+
+    m_env = mse("env")
+    m_sun = mse("sun")
+    assert m_env < 0.25 * m_sun, (m_env, m_sun)
