@@ -35,7 +35,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_MAGIC = jnp.uint32(1103515245)
+# np (not jnp) scalar: a module-level jnp constant would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize (which
+# must run first on multi-host deployments importing bpt_tpu.parallel)
+_MAGIC = np.uint32(1103515245)
 _INV_U32_MAX = float(1.0 / 4294967295.0)  # 1 / float(0xffffffffU)
 
 

@@ -10,6 +10,7 @@ direction and the sun direction — the sun azimuth/zenith gradient config in
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from bpt_tpu.core.vecmath import dot, normalize, smoothstep, mix
 
@@ -20,8 +21,11 @@ MIE_COEFFICIENT = 0.03
 MIE_DIRECTIONAL_G = 0.76
 THREE_OVER_SIXTEENPI = 0.05968310365946075
 ONE_OVER_FOURPI = 0.07957747154594767
-TOTAL_RAYLEIGH = jnp.array([5.804542996261093e-6, 1.3562911419845635e-5, 3.0265902468824876e-5], jnp.float32)
-MIE_CONST = jnp.array([1.8399918514433978e14, 2.7798023919660528e14, 4.0790479543861094e14], jnp.float32)
+# np (not jnp) module constants: a jnp array at import time initializes the
+# XLA backend, which must not happen before jax.distributed.initialize on
+# multi-host deployments (bpt_tpu.parallel.multihost).
+TOTAL_RAYLEIGH = np.array([5.804542996261093e-6, 1.3562911419845635e-5, 3.0265902468824876e-5], np.float32)
+MIE_CONST = np.array([1.8399918514433978e14, 2.7798023919660528e14, 4.0790479543861094e14], np.float32)
 RAYLEIGH_ZENITH_LENGTH = 8400.0
 MIE_ZENITH_LENGTH = 1250.0
 SUN_POWER = 200.0
@@ -30,7 +34,7 @@ CUTOFF_ANGLE = 1.6110731556870734
 STEEPNESS = 1.5
 E_CONST = 2.71828182845904524
 PI = 3.14159265358979323
-UP = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+UP = np.array([0.0, 1.0, 0.0], np.float32)
 
 
 def rayleigh_phase(cos_theta):

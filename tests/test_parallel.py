@@ -30,7 +30,7 @@ def test_sharded_equals_single_device(setup):
     scene, camera = setup
     prev = jnp.zeros((RES, RES, 4), jnp.float32)
     single = render_frame(scene, camera, CFG, prev, 2.0, False, RV, BN)
-    for n in (8,):
+    for n in (2, 4, 8):
         mesh = make_mesh(jax.devices()[:n])
         # shard_map must run under jit — eager mode interprets op-by-op
         step = jax.jit(
@@ -70,3 +70,37 @@ def test_sharded_gradient_psum(setup):
     g8 = np.asarray(jax.jit(jax.grad(loss_sharded))(lc))
     assert np.abs(g1).sum() > 0, "light emission must have nonzero gradient"
     np.testing.assert_allclose(g8, g1, rtol=1e-5)
+
+
+def test_sharded_denoiser_halo_exchange(setup):
+    """screen_output (5x5 + 3x3 stencils) under jit with a row-sharding
+    constraint equals the unsharded result exactly — proves XLA's SPMD
+    partitioner materializes the 2-pixel halos across the 8 shards
+    (the claim at bpt_tpu/parallel/sharding.py module docstring)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bpt_tpu.parallel import make_mesh
+    from bpt_tpu.postprocess import screen_output
+
+    scene, camera = setup
+    mesh = make_mesh()
+    # an accumulation buffer with structure: a few frames of a real render
+    prev = jnp.zeros((RES, RES, 4), jnp.float32)
+    for f in range(3):
+        prev = render_frame(scene, camera, CFG, prev, float(f + 1), False, RV, BN)
+    inv_n = jnp.asarray(1.0 / 3.0, jnp.float32)
+
+    ref = np.asarray(screen_output(prev, inv_n))
+
+    sharded_in = jax.device_put(prev, NamedSharding(mesh, P("tiles")))
+
+    @jax.jit
+    def sharded_out(buf):
+        buf = jax.lax.with_sharding_constraint(buf, NamedSharding(mesh, P("tiles")))
+        out = screen_output(buf, inv_n)
+        return jax.lax.with_sharding_constraint(out, NamedSharding(mesh, P("tiles")))
+
+    out = sharded_out(sharded_in)
+    # result really is row-sharded over the 8 devices
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out), ref)
