@@ -204,10 +204,22 @@ def intersect_mesh_bvh(mesh: TriangleMesh, ro: jnp.ndarray, rd: jnp.ndarray, bes
     from bpt_tpu.kernels.traverse import blockable
 
     can_packet = mesh.pk_nodes_f is not None and blockable(ro.shape[:-1])
+    # Reference-capacity meshes (up to 524,288 tris): the VMEM-resident
+    # packet kernel caps out when the triangle table (~10 MB) or the SMEM
+    # node-link table (~0.9 MB) no longer fit on-chip — stream leaf rows
+    # from HBM instead (kernels.traverse.hbm_closest_hit).
+    needs_hbm = can_packet and (
+        mesh.pk_tris.size * 4 > 10 * 2**20
+        or mesh.pk_nodes_i.size * 4 > 9 * 2**20 // 10
+    ) and mesh.fz_nodes_f is not None
     if mode == "auto":
         import jax
 
         mode = "pallas" if (can_packet and jax.default_backend() != "cpu") else "xla"
+    if mode in ("pallas", "interpret") and needs_hbm:
+        return _intersect_mesh_hbm(
+            mesh, ro_o, rd_o, cull, best, id_base, interpret=(mode == "interpret")
+        )
     if mode in ("pallas", "interpret") and can_packet:
         return _intersect_mesh_packet(
             mesh, ro_o, rd_o, cull, best, id_base, interpret=(mode == "interpret")
@@ -281,6 +293,39 @@ def _intersect_mesh_packet(mesh, ro_o, rd_o, cull, best: Hit, id_base: int, inte
         interpret,
     )
     hit_ok = tri >= 0
+    uv = jnp.stack([us, vs], axis=-1)
+    n_obj = normalize(n_obj)
+    if mesh.normal_map is not None:
+        from bpt_tpu.textures import perturb_normal
+
+        n_obj = perturb_normal(n_obj, mesh.normal_map, uv, packed=mesh.normal_map_q)
+    n_world = normal_to_world(mesh.inv_matrix, n_obj)
+    has_albedo = mesh.albedo is not None
+    mat = jnp.where(
+        jnp.asarray(has_albedo), jnp.int32(PBR_MATERIAL), mesh.mat_type.astype(jnp.int32)
+    )
+    t = jnp.where(hit_ok, t, INFINITY)
+    return _merge(
+        best,
+        t,
+        n_world,
+        jnp.ones(ro_o.shape, ro_o.dtype),  # hitColor = vec3(1)
+        jnp.broadcast_to(mat, t.shape),
+        jnp.full_like(t, float(id_base)),
+        uv=uv,
+    )
+
+
+def _intersect_mesh_hbm(mesh, ro_o, rd_o, cull, best: Hit, id_base: int, interpret: bool) -> Hit:
+    """Reference-capacity variant of the packet walk: dense pack nodes in
+    VMEM, triangle rows DMA-streamed from HBM per leaf."""
+    from bpt_tpu.kernels.traverse import hbm_closest_hit
+
+    t, n_obj, us, vs, slot = hbm_closest_hit(
+        ro_o, rd_o, cull.astype(jnp.float32), mesh.fz_nodes_f, mesh.fz_tris,
+        interpret,
+    )
+    hit_ok = slot >= 0
     uv = jnp.stack([us, vs], axis=-1)
     n_obj = normalize(n_obj)
     if mesh.normal_map is not None:

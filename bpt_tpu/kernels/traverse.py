@@ -192,6 +192,234 @@ def _traverse_call(rays, cull, nodes_f, nodes_i, tris, n_nodes_padded, interpret
 
 
 # ---------------------------------------------------------------------------
+# HBM-streaming variant: reference-capacity meshes (up to the 524,288-tri
+# cap of the reference's 2048^2 data textures, GLTF_Model_Path_Tracing.js:
+# 291-295).  The dense pack's triangle table no longer fits VMEM past a few
+# hundred thousand records, so it stays in HBM and each leaf's row range is
+# DMA'd into a VMEM scratch on demand; the node table (16-float rows with
+# float-encoded links, accel.cluster dense layout) remains VMEM-resident.
+# ---------------------------------------------------------------------------
+
+_HBM_LEAF_ROWS = 16  # scratch rows per leaf DMA (leaf_size <= 4 * this)
+
+
+def _make_hbm_kernel(n_nodes_padded: int):
+    def kernel(cull_ref, rays_ref, nodes_f_ref, tris_hbm, fout_ref, iout_ref,
+               scratch, sem):
+        rox, roy, roz = rays_ref[0], rays_ref[1], rays_ref[2]
+        rdx, rdy, rdz = rays_ref[3], rays_ref[4], rays_ref[5]
+        invx = _safe_inv(rdx)
+        invy = _safe_inv(rdy)
+        invz = _safe_inv(rdz)
+        cull = cull_ref[0, 0] != 0
+
+        shape = rox.shape
+        t0 = jnp.full(shape, _INF, jnp.float32)
+        tri0 = jnp.full(shape, -1, jnp.int32)
+        z = jnp.zeros(shape, jnp.float32)
+
+        def cond(c):
+            return c[0] < n_nodes_padded
+
+        def body(c):
+            i, t_best, tri_b, nx, ny, nz, us, vs = c
+            nf = nodes_f_ref[pl.ds(i, 1), :]  # (1, 16): min max esc row0 nrows
+            tx0 = (nf[0, 0] - rox) * invx
+            tx1 = (nf[0, 3] - rox) * invx
+            ty0 = (nf[0, 1] - roy) * invy
+            ty1 = (nf[0, 4] - roy) * invy
+            tz0 = (nf[0, 2] - roz) * invz
+            tz1 = (nf[0, 5] - roz) * invz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            hit = (jnp.maximum(tmin, 0.0) <= tmax) & (tmin < t_best)
+            any_hit = jnp.any(hit)
+
+            esc = nf[0, 6].astype(jnp.int32)
+            row0 = nf[0, 7].astype(jnp.int32)
+            nrows = nf[0, 8].astype(jnp.int32)
+            is_leaf = nrows > 0
+
+            def leaf_fn(c2):
+                # stream this leaf's rows from HBM (fixed-size DMA; the
+                # table is over-padded by _HBM_LEAF_ROWS rows so the copy
+                # may read past the leaf but never past the array)
+                dma = pltpu.make_async_copy(
+                    tris_hbm.at[pl.ds(row0, _HBM_LEAF_ROWS), :],
+                    scratch, sem,
+                )
+                dma.start()
+                dma.wait()
+
+                def row_body(k, c3):
+                    t_best, tri_b, nx, ny, nz, us, vs = c3
+                    row = scratch[pl.ds(k, 1), :]  # (1, 128): 4 records
+                    for j in range(4):
+                        o = 32 * j
+                        p0x, p0y, p0z = row[0, o + 0], row[0, o + 1], row[0, o + 2]
+                        e1x = row[0, o + 3] - p0x
+                        e1y = row[0, o + 4] - p0y
+                        e1z = row[0, o + 5] - p0z
+                        e2x = row[0, o + 6] - p0x
+                        e2y = row[0, o + 7] - p0y
+                        e2z = row[0, o + 8] - p0z
+                        pvx = rdy * e2z - rdz * e2y
+                        pvy = rdz * e2x - rdx * e2z
+                        pvz = rdx * e2y - rdy * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        inv_det = _safe_inv(det)
+                        tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
+                        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+                        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                        miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0) | (t <= 0.0)
+                        miss = miss | (cull & (det < 0.0))
+                        closer = jnp.logical_not(miss) & (t < t_best)
+                        w = 1.0 - u - v
+                        inx = w * row[0, o + 9] + u * row[0, o + 12] + v * row[0, o + 15]
+                        iny = w * row[0, o + 10] + u * row[0, o + 13] + v * row[0, o + 16]
+                        inz = w * row[0, o + 11] + u * row[0, o + 14] + v * row[0, o + 17]
+                        iu = w * row[0, o + 18] + u * row[0, o + 20] + v * row[0, o + 22]
+                        iv = w * row[0, o + 19] + u * row[0, o + 21] + v * row[0, o + 23]
+                        t_best = jnp.where(closer, t, t_best)
+                        tri_b = jnp.where(closer, (row0 + k) * 4 + j, tri_b)
+                        nx = jnp.where(closer, inx, nx)
+                        ny = jnp.where(closer, iny, ny)
+                        nz = jnp.where(closer, inz, nz)
+                        us = jnp.where(closer, iu, us)
+                        vs = jnp.where(closer, iv, vs)
+                    return (t_best, tri_b, nx, ny, nz, us, vs)
+
+                return jax.lax.fori_loop(0, nrows, row_body, c2)
+
+            leaf_state = (t_best, tri_b, nx, ny, nz, us, vs)
+            t_best, tri_b, nx, ny, nz, us, vs = jax.lax.cond(
+                any_hit & is_leaf, leaf_fn, lambda c2: c2, leaf_state
+            )
+            next_i = jnp.where(any_hit & jnp.logical_not(is_leaf), i + 1, esc)
+            return (next_i, t_best, tri_b, nx, ny, nz, us, vs)
+
+        carry = (jnp.int32(0), t0, tri0, z, z, z, z, z)
+        _, t_best, tri_b, nx, ny, nz, us, vs = jax.lax.while_loop(cond, body, carry)
+
+        fout_ref[0] = t_best
+        fout_ref[1] = nx
+        fout_ref[2] = ny
+        fout_ref[3] = nz
+        fout_ref[4] = us
+        fout_ref[5] = vs
+        iout_ref[:] = tri_b
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes_padded", "interpret"))
+def _traverse_call_hbm(rays, cull, nodes_f, tris, n_nodes_padded, interpret):
+    """HBM-streaming traverse: rays (6, R, 128); nodes_f (Np, 16) dense-pack
+    layout; tris (Rp + _HBM_LEAF_ROWS, 128) in HBM (over-padded)."""
+    n_blocks = rays.shape[1] // 8
+    np_, _ = nodes_f.shape
+    grid = (n_blocks,)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # cull (1,1) i32
+        pl.BlockSpec((6, 8, 128), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((np_, 16), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),   # tris stay in HBM
+    ]
+    out_specs = [
+        pl.BlockSpec((6, 8, 128), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
+    ]
+    fout, iout = pl.pallas_call(
+        _make_hbm_kernel(n_nodes_padded),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((6, rays.shape[1], 128), jnp.float32),
+            jax.ShapeDtypeStruct((rays.shape[1], 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_HBM_LEAF_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(cull, rays, nodes_f, tris)
+    return fout, iout
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def hbm_closest_hit(ro, rd, cull, nodes_f, tris, interpret: bool = False):
+    """Closest hit over an HBM-resident dense clusterized pack — the
+    reference-capacity path (no VMEM cap on triangle count; the per-leaf
+    row DMA replaces residency).  Gradients use the same detached-selection
+    recompute as packet_closest_hit.
+
+    ro/rd: (H, W, 3) object-space rays.  nodes_f/tris: the fz_* dense pack
+    (accel.cluster.pack_clustered_dense, leaf_size <= 4 * _HBM_LEAF_ROWS).
+    Returns (t, normal_obj, u, v, packed_slot_id).
+    """
+    h, w = ro.shape[:2]
+    rays = jnp.stack(
+        [_to_blocks(ro[..., k], h, w) for k in range(3)]
+        + [_to_blocks(rd[..., k], h, w) for k in range(3)]
+    )
+    cull2 = jnp.reshape((cull > 0.5).astype(jnp.int32), (1, 1))
+    # over-pad so the fixed-size leaf DMA can never run off the table
+    tris_p = jnp.concatenate(
+        [tris, jnp.zeros((_HBM_LEAF_ROWS, 128), tris.dtype)], axis=0
+    )
+    fout, iout = _traverse_call_hbm(
+        rays, cull2, nodes_f, tris_p, int(nodes_f.shape[0]), interpret
+    )
+    t = _from_blocks(fout[0], h, w)
+    n = jnp.stack([_from_blocks(fout[1 + k], h, w) for k in range(3)], axis=-1)
+    us = _from_blocks(fout[4], h, w)
+    vs = _from_blocks(fout[5], h, w)
+    tri = _from_blocks(iout, h, w)
+    return t, n, us, vs, tri
+
+
+def _hbm_fwd(ro, rd, cull, nodes_f, tris, interpret):
+    out = hbm_closest_hit(ro, rd, cull, nodes_f, tris, interpret)
+    return out, (ro, rd, nodes_f, tris, out[4])
+
+
+def _hbm_bwd(interpret, res, cot):
+    ro, rd, nodes_f, tris, slot = res
+    ct, cn, cu, cv, _ = cot
+    ok = slot >= 0
+    rows = jnp.take(tris.reshape(-1, 32), jnp.maximum(slot, 0), axis=0)
+
+    def f(ro, rd):
+        return _recompute(ro, rd, rows, ok)
+
+    _, vjp = jax.vjp(f, ro, rd)
+    g_ro, g_rd = vjp(
+        (
+            jnp.where(ok, ct, 0.0),
+            jnp.where(ok[..., None], cn, 0.0),
+            jnp.where(ok, cu, 0.0),
+            jnp.where(ok, cv, 0.0),
+        )
+    )
+    return (g_ro, g_rd, jnp.zeros((), jnp.float32),
+            jnp.zeros_like(nodes_f), jnp.zeros_like(tris))
+
+
+hbm_closest_hit.defvjp(_hbm_fwd, _hbm_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Blocking: (H, W) image wavefront <-> packets of 32x32 pixel blocks
 # ---------------------------------------------------------------------------
 
