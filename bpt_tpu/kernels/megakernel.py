@@ -1874,6 +1874,7 @@ def trace_image_pallas(
     tile_cols: int = 256,
     interpret: bool = False,
     differentiable: bool = False,
+    mesh_sub_rows: int | None = None,
 ):
     """Pallas forward of the Cornell-, quadric-, sky-, glTF- and HDRI-family
     radiance pass.
@@ -1963,6 +1964,8 @@ def trace_image_pallas(
     if scene.mesh is not None and scene.mesh.fz_tris is not None:
         if int(scene.mesh.fz_tris.shape[0]) > 2048:
             sub_rows = 8
+    if mesh_sub_rows is not None:
+        sub_rows = mesh_sub_rows
     if differentiable:
         f = _prb_fn(cfg, height, width, tile_rows, tile_cols, interpret,
                     fast_quads, mesh_textured, sub_rows)
