@@ -432,16 +432,23 @@ def _q_torus(ro, rd, k, max_steps=500):
     bounded = t_start < INFINITY
     t_m0 = jnp.where(bounded, t_start, 0.0)
 
-    def body(_, carry):
-        t, d = carry
+    def cond(carry):
+        # early exit once every lane froze (converged or out of range):
+        # most tiles finish in tens of steps, not the 500-step worst case
+        step, t, d = carry
+        live = (jnp.abs(d) >= 0.01) & (t - t_m0 <= 8.0)
+        return (step < max_steps) & jnp.any(live)
+
+    def body(carry):
+        step, t, d = carry
         live = (jnp.abs(d) >= 0.01) & (t - t_m0 <= 8.0)
         d_new = _map_torus_c(ro[0] + rd[0] * t, ro[1] + rd[1] * t, ro[2] + rd[2] * t, k)
         t = jnp.where(live & (jnp.abs(d_new) >= 0.01), t + d_new, t)
         d = jnp.where(live, d_new, d)
-        return t, d
+        return step + 1, t, d
 
-    t_m, d_m = jax.lax.fori_loop(
-        0, max_steps, body, (t_m0, jnp.full_like(t_m0, INFINITY))
+    _, t_m, d_m = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t_m0, jnp.full_like(t_m0, INFINITY))
     )
     converged = bounded & (jnp.abs(d_m) < 0.01)
     px, py, pz = _hit_at(ro, rd, t_m)
