@@ -328,10 +328,9 @@ def _intersect_mesh_hbm(mesh, ro_o, rd_o, cull, best: Hit, id_base: int, interpr
     hit_ok = slot >= 0
     uv = jnp.stack([us, vs], axis=-1)
     n_obj = normalize(n_obj)
-    if mesh.normal_map is not None:
-        from bpt_tpu.textures import perturb_normal
-
-        n_obj = perturb_normal(n_obj, mesh.normal_map, uv, packed=mesh.normal_map_q)
+    # NB: no per-texel perturb_normal here — the fz pack's vertex normals
+    # are already normal-map-baked (scenes.gltf_scene._bake_vertex_normal_map),
+    # and at this mesh scale per-vertex ≈ per-texel frequency anyway.
     n_world = normal_to_world(mesh.inv_matrix, n_obj)
     has_albedo = mesh.albedo is not None
     mat = jnp.where(

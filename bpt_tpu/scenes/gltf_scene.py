@@ -91,6 +91,40 @@ def bake_triangle_attrs(model: GLTFModel) -> np.ndarray:
     return attr
 
 
+def _bake_vertex_normal_map(model: GLTFModel) -> tuple:
+    """Per-VERTEX normal-map bake for the fused megakernel's dense pack.
+
+    The fused kernel cannot gather normal-map texels mid-loop, so the
+    tangent-space perturbation (perturbNormal,
+    GLTFModelPathTracing_FragmentShader.js:72-92) is applied host-side at
+    each vertex UV; the kernel's barycentric interpolation then yields
+    vertex-frequency normal mapping (classic per-vertex approximation —
+    the wavefront path stays per-texel).  Same cross-trick ONB and decode
+    as textures.perturb_normal, in numpy.
+    """
+    nm = np.asarray(model.normal_map)
+    h, w = nm.shape[0], nm.shape[1]
+
+    def perturb(n, uv):
+        nl = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-10)
+        up = np.where(np.abs(nl[:, 1:2]) < 0.9, [[0.0, 1.0, 0.0]], [[1.0, 0.0, 0.0]])
+        s = np.cross(up, nl)
+        s /= np.maximum(np.linalg.norm(s, axis=-1, keepdims=True), 1e-10)
+        t = np.cross(nl, s)
+        xi = np.mod(np.floor(uv[:, 0] * w).astype(np.int64), w)
+        yi = np.mod(np.floor(uv[:, 1] * h).astype(np.int64), h)
+        mp = nm[yi, xi, :3] * 2.0 - 1.0
+        mp /= np.maximum(np.linalg.norm(mp, axis=-1, keepdims=True), 1e-10)
+        out = s * mp[:, 0:1] + t * mp[:, 1:2] + nl * mp[:, 2:3]
+        return (out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-10)).astype(np.float32)
+
+    return (
+        perturb(np.asarray(model.n0), np.asarray(model.uv0)),
+        perturb(np.asarray(model.n1), np.asarray(model.uv1)),
+        perturb(np.asarray(model.n2), np.asarray(model.uv2)),
+    )
+
+
 def mesh_from_model(
     model: GLTFModel,
     mat_type: int = METAL,
@@ -116,8 +150,14 @@ def mesh_from_model(
         model.uv0, model.uv1, model.uv2,
     )
     tri_attr = bake_triangle_attrs(model) if model.albedo is not None else None
+    if model.normal_map is not None:
+        # fused pack gets normal-map-perturbed vertex normals (see
+        # _bake_vertex_normal_map); pk_/wavefront keep the exact per-texel path
+        fn0, fn1, fn2 = _bake_vertex_normal_map(model)
+    else:
+        fn0, fn1, fn2 = model.n0, model.n1, model.n2
     fz = pack_clustered_dense(
-        bvh, model.p0, model.p1, model.p2, model.n0, model.n1, model.n2,
+        bvh, model.p0, model.p1, model.p2, fn0, fn1, fn2,
         model.uv0, model.uv1, model.uv2, leaf_size=leaf_size,
         tri_attr=tri_attr,
     )

@@ -343,3 +343,51 @@ def test_megakernel_mesh_subpacket_parity():
     # split only changes which lanes share a cursor, not any lane's hits)
     np.testing.assert_array_equal(np.asarray(whole.color), np.asarray(sub.color))
     np.testing.assert_array_equal(np.asarray(whole.object_id), np.asarray(sub.object_id))
+
+
+def test_fused_pack_bakes_vertex_normal_map():
+    """The fused dense pack's vertex normals carry the normal-map bake:
+    fused first-hit normals move with the map while the wavefront applies
+    the same perturbation per texel (identical where the map is constant
+    per vertex-neighborhood)."""
+    from bpt_tpu.io.gltf import GLTFModel
+    from bpt_tpu.scenes.gltf_scene import gltf_scene, mesh_from_model
+
+    # floor quad (+y geometric), constant tilted normal map -> exact parity
+    p = np.array(
+        [
+            [[-50, -20, -50], [50, -20, 50], [50, -20, -50]],
+            [[-50, -20, -50], [-50, -20, 50], [50, -20, 50]],
+        ],
+        np.float32,
+    )
+    ny = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (2, 3, 1))
+    uvs = np.array([[[0, 0], [1, 1], [1, 0]], [[0, 0], [0, 1], [1, 1]]], np.float32)
+    tilt = np.full((8, 8, 3), 0.5, np.float32)
+    tilt[..., 0] = 0.8  # tangent-space +x tilt
+    tilt[..., 2] = 1.0
+
+    def scene_with(nm):
+        model = GLTFModel(p0=p[:, 0], p1=p[:, 1], p2=p[:, 2], n0=ny[:, 0],
+                          n1=ny[:, 1], n2=ny[:, 2], uv0=uvs[:, 0],
+                          uv1=uvs[:, 1], uv2=uvs[:, 2],
+                          albedo=np.full((4, 4, 3), 0.7, np.float32),
+                          normal_map=nm, metallic_roughness=None, emissive=None)
+        return gltf_scene(mesh_from_model(model, mat_type=1))
+
+    from bpt_tpu.camera import Camera
+
+    cam = Camera.look(position=(0.0, 30.0, 0.0), pitch=1.5707, fov=0.5)
+    cfg = IntegratorConfig(bounces=1)
+    h, w = 32, 128
+    out_t = trace_image_pallas(scene_with(tilt), cam, cfg, w, h, 2.0, RV, BN,
+                               tile_rows=32, tile_cols=128, interpret=True)
+    ref_t = trace_image(scene_with(tilt), cam, cfg, w, h, 2.0, RV, BN)
+    hitm = np.asarray(out_t.object_id) == 8.0  # mesh id: 2 spheres + 6 quads
+    assert hitm.mean() > 0.8
+    # fused (vertex-baked) == wavefront (per-texel) for a constant map
+    np.testing.assert_allclose(
+        np.asarray(out_t.object_normal)[hitm],
+        np.asarray(ref_t.object_normal)[hitm], rtol=1e-4, atol=1e-5)
+    # and the perturbation is real: normals are visibly tilted off +y
+    assert (np.asarray(out_t.object_normal)[hitm][:, 1] < 0.95).all()
