@@ -44,7 +44,13 @@ def main():
     cfg = IntegratorConfig(bounces=args.bounces, metal_roughness_lobe=True)
 
     def build(params):
-        mesh = mesh0._replace(albedo=params["albedo"])
+        from bpt_tpu.textures import quad_pack
+
+        # replace BOTH the raw map and its quad-packed twin (the sampling
+        # paths prefer the packed table; quad_pack is differentiable)
+        mesh = mesh0._replace(
+            albedo=params["albedo"], albedo_q=quad_pack(params["albedo"])
+        )
         return gltf_scene(mesh), camera
 
     from bpt_tpu.diff.inverse import render_avg

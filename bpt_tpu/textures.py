@@ -42,15 +42,15 @@ def quad_pack(tex) -> jnp.ndarray:
     Why: XLA's TPU gather issues ~15 cycles *per row* regardless of row
     width, so fetching the 4 taps of a bilinear sample as 4 gathers wastes
     4x the issue rate.  4x memory for 4x fewer gathers — the TPU trade.
-    """
-    import numpy as np
 
-    t = np.asarray(tex)
-    return jnp.asarray(
-        np.concatenate(
-            [t, np.roll(t, -1, 1), np.roll(t, -1, 0), np.roll(np.roll(t, -1, 0), -1, 1)],
-            axis=-1,
-        )
+    jnp ops throughout, so packing is differentiable: optimizing a texture
+    (inverse rendering) can re-pack per step and gradients flow back
+    through the roll/concat to the raw map.
+    """
+    t = jnp.asarray(tex)
+    return jnp.concatenate(
+        [t, jnp.roll(t, -1, 1), jnp.roll(t, -1, 0), jnp.roll(jnp.roll(t, -1, 0), -1, 1)],
+        axis=-1,
     )
 
 
