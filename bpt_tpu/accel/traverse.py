@@ -179,7 +179,7 @@ def _traversal_mode() -> str:
     return os.environ.get("BPT_MESH_TRAVERSAL", "auto")
 
 
-def intersect_mesh_bvh(mesh: TriangleMesh, ro: jnp.ndarray, rd: jnp.ndarray, best: Hit, id_base: int) -> Hit:
+def intersect_mesh_bvh(mesh: TriangleMesh, ro: jnp.ndarray, rd: jnp.ndarray, best: Hit, id_base: int, active: jnp.ndarray | None = None) -> Hit:
     """Model-space BVH walk + deferred attribute fetch, merged into `best`.
 
     Mirrors the glTF SceneIntersect's model section
@@ -216,13 +216,15 @@ def intersect_mesh_bvh(mesh: TriangleMesh, ro: jnp.ndarray, rd: jnp.ndarray, bes
         import jax
 
         mode = "pallas" if (can_packet and jax.default_backend() != "cpu") else "xla"
+    act = (jnp.ones(ro.shape[:-1], jnp.float32) if active is None
+           else active.astype(jnp.float32))
     if mode in ("pallas", "interpret") and needs_hbm:
         return _intersect_mesh_hbm(
-            mesh, ro_o, rd_o, cull, best, id_base, interpret=(mode == "interpret")
+            mesh, ro_o, rd_o, cull, act, best, id_base, interpret=(mode == "interpret")
         )
     if mode in ("pallas", "interpret") and can_packet:
         return _intersect_mesh_packet(
-            mesh, ro_o, rd_o, cull, best, id_base, interpret=(mode == "interpret")
+            mesh, ro_o, rd_o, cull, act, best, id_base, interpret=(mode == "interpret")
         )
 
     stack_depth = MAX_STACK_DEPTH
@@ -277,7 +279,7 @@ def intersect_mesh_bvh(mesh: TriangleMesh, ro: jnp.ndarray, rd: jnp.ndarray, bes
     )
 
 
-def _intersect_mesh_packet(mesh, ro_o, rd_o, cull, best: Hit, id_base: int, interpret: bool) -> Hit:
+def _intersect_mesh_packet(mesh, ro_o, rd_o, cull, act, best: Hit, id_base: int, interpret: bool) -> Hit:
     """Packet-kernel variant of the model section: the kernel already
     interpolated the smooth normal and UV (the deferred attribute fetch),
     so only the world-space normal transform and material pick remain."""
@@ -288,6 +290,7 @@ def _intersect_mesh_packet(mesh, ro_o, rd_o, cull, best: Hit, id_base: int, inte
         ro_o,
         rd_o,
         cull.astype(jnp.float32),
+        act,
         pack,
         int(mesh.pk_nodes_f.shape[0]),
         interpret,
@@ -316,13 +319,13 @@ def _intersect_mesh_packet(mesh, ro_o, rd_o, cull, best: Hit, id_base: int, inte
     )
 
 
-def _intersect_mesh_hbm(mesh, ro_o, rd_o, cull, best: Hit, id_base: int, interpret: bool) -> Hit:
+def _intersect_mesh_hbm(mesh, ro_o, rd_o, cull, act, best: Hit, id_base: int, interpret: bool) -> Hit:
     """Reference-capacity variant of the packet walk: dense pack nodes in
     VMEM, triangle rows DMA-streamed from HBM per leaf."""
     from bpt_tpu.kernels.traverse import hbm_closest_hit
 
     t, n_obj, us, vs, slot = hbm_closest_hit(
-        ro_o, rd_o, cull.astype(jnp.float32), mesh.fz_nodes_f, mesh.fz_tris,
+        ro_o, rd_o, cull.astype(jnp.float32), act, mesh.fz_nodes_f, mesh.fz_tris,
         interpret,
     )
     hit_ok = slot >= 0

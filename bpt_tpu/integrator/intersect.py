@@ -110,8 +110,14 @@ def _intersect_quads(quads, ro, rd, best: Hit, id_base: int) -> Hit:
     return _merge(best, t_min, normal, color, mat, idx.astype(jnp.float32) + float(id_base))
 
 
-def scene_intersect(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray) -> Hit:
-    """Nearest hit over all primitive groups; (..., 3) rays of any batch shape."""
+def scene_intersect(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
+                    active: jnp.ndarray | None = None) -> Hit:
+    """Nearest hit over all primitive groups; (..., 3) rays of any batch shape.
+
+    ``active`` (bool, optional): lanes still alive.  Pure elementwise
+    intersectors ignore it (their dead-lane results are masked by the
+    caller anyway), but the packet BVH walks use it so terminated lanes'
+    stale rays cannot drag the shared cursor through extra subtrees."""
     best = _empty_hit(ro.shape[:-1], ro.dtype)
     id_base = 0
     if scene.spheres is not None:
@@ -126,6 +132,6 @@ def scene_intersect(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray) -> Hit:
     if scene.mesh is not None:
         from bpt_tpu.accel.traverse import intersect_mesh_bvh
 
-        best = intersect_mesh_bvh(scene.mesh, ro, rd, best, id_base)
+        best = intersect_mesh_bvh(scene.mesh, ro, rd, best, id_base, active=active)
         id_base += 1
     return best

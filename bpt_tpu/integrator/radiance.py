@@ -128,7 +128,7 @@ def calculate_radiance(
     frame_counter = jnp.asarray(frame_counter, f32)
 
     for bounce in range(cfg.bounces):
-        hit = scene_intersect(scene, ro, rd)
+        hit = scene_intersect(scene, ro, rd, active=(alive if bounce else None))
         miss = hit.t >= INFINITY
 
         n = normalize(hit.normal)

@@ -56,6 +56,7 @@ def _make_kernel(n_nodes_padded: int):
         rdx = rays_ref[3]
         rdy = rays_ref[4]
         rdz = rays_ref[5]
+        act = rays_ref[6] > 0.5  # terminated lanes must not steer the cursor
         invx = _safe_inv(rdx)
         invy = _safe_inv(rdy)
         invz = _safe_inv(rdz)
@@ -86,7 +87,7 @@ def _make_kernel(n_nodes_padded: int):
                 jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                 jnp.maximum(tz0, tz1),
             )
-            hit = (jnp.maximum(tmin, 0.0) <= tmax) & (tmin < t_best)
+            hit = (jnp.maximum(tmin, 0.0) <= tmax) & (tmin < t_best) & act
             any_hit = jnp.any(hit)
 
             esc = nodes_i_ref[i, 0]
@@ -161,14 +162,14 @@ def _make_kernel(n_nodes_padded: int):
 
 @functools.partial(jax.jit, static_argnames=("n_nodes_padded", "interpret"))
 def _traverse_call(rays, cull, nodes_f, nodes_i, tris, n_nodes_padded, interpret):
-    """rays: (6, R, 128) pre-blocked; R = 8 * n_blocks."""
+    """rays: (7, R, 128) pre-blocked (ro3, rd3, active); R = 8 * n_blocks."""
     n_blocks = rays.shape[1] // 8
     np_, _ = nodes_f.shape
     tp, _ = tris.shape
     grid = (n_blocks,)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # cull (1,1) i32
-        pl.BlockSpec((6, 8, 128), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((7, 8, 128), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((np_, 8), lambda b: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # nodes_i, whole array
         pl.BlockSpec((tp, 32), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -208,6 +209,7 @@ def _make_hbm_kernel(n_nodes_padded: int):
                scratch, sem):
         rox, roy, roz = rays_ref[0], rays_ref[1], rays_ref[2]
         rdx, rdy, rdz = rays_ref[3], rays_ref[4], rays_ref[5]
+        act = rays_ref[6] > 0.5  # terminated lanes must not steer the cursor
         invx = _safe_inv(rdx)
         invy = _safe_inv(rdy)
         invz = _safe_inv(rdz)
@@ -238,7 +240,7 @@ def _make_hbm_kernel(n_nodes_padded: int):
                 jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                 jnp.maximum(tz0, tz1),
             )
-            hit = (jnp.maximum(tmin, 0.0) <= tmax) & (tmin < t_best)
+            hit = (jnp.maximum(tmin, 0.0) <= tmax) & (tmin < t_best) & act
             any_hit = jnp.any(hit)
 
             esc = nf[0, 6].astype(jnp.int32)
@@ -324,14 +326,15 @@ def _make_hbm_kernel(n_nodes_padded: int):
 
 @functools.partial(jax.jit, static_argnames=("n_nodes_padded", "interpret"))
 def _traverse_call_hbm(rays, cull, nodes_f, tris, n_nodes_padded, interpret):
-    """HBM-streaming traverse: rays (6, R, 128); nodes_f (Np, 16) dense-pack
-    layout; tris (Rp + _HBM_LEAF_ROWS, 128) in HBM (over-padded)."""
+    """HBM-streaming traverse: rays (7, R, 128: ro3, rd3, active); nodes_f
+    (Np, 16) dense-pack layout; tris (Rp + _HBM_LEAF_ROWS, 128) in HBM
+    (over-padded)."""
     n_blocks = rays.shape[1] // 8
     np_, _ = nodes_f.shape
     grid = (n_blocks,)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # cull (1,1) i32
-        pl.BlockSpec((6, 8, 128), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((7, 8, 128), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((np_, 16), lambda b: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.ANY),   # tris stay in HBM
     ]
@@ -357,8 +360,8 @@ def _traverse_call_hbm(rays, cull, nodes_f, tris, n_nodes_padded, interpret):
     return fout, iout
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def hbm_closest_hit(ro, rd, cull, nodes_f, tris, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def hbm_closest_hit(ro, rd, cull, act, nodes_f, tris, interpret: bool = False):
     """Closest hit over an HBM-resident dense clusterized pack — the
     reference-capacity path (no VMEM cap on triangle count; the per-leaf
     row DMA replaces residency).  Gradients use the same detached-selection
@@ -372,6 +375,7 @@ def hbm_closest_hit(ro, rd, cull, nodes_f, tris, interpret: bool = False):
     rays = jnp.stack(
         [_to_blocks(ro[..., k], h, w) for k in range(3)]
         + [_to_blocks(rd[..., k], h, w) for k in range(3)]
+        + [_to_blocks(act, h, w)]
     )
     cull2 = jnp.reshape((cull > 0.5).astype(jnp.int32), (1, 1))
     # over-pad so the fixed-size leaf DMA can never run off the table
@@ -389,8 +393,8 @@ def hbm_closest_hit(ro, rd, cull, nodes_f, tris, interpret: bool = False):
     return t, n, us, vs, tri
 
 
-def _hbm_fwd(ro, rd, cull, nodes_f, tris, interpret):
-    out = hbm_closest_hit(ro, rd, cull, nodes_f, tris, interpret)
+def _hbm_fwd(ro, rd, cull, act, nodes_f, tris, interpret):
+    out = hbm_closest_hit(ro, rd, cull, act, nodes_f, tris, interpret)
     return out, (ro, rd, nodes_f, tris, out[4])
 
 
@@ -412,7 +416,7 @@ def _hbm_bwd(interpret, res, cot):
             jnp.where(ok, cv, 0.0),
         )
     )
-    return (g_ro, g_rd, jnp.zeros((), jnp.float32),
+    return (g_ro, g_rd, jnp.zeros((), jnp.float32), jnp.zeros(ro.shape[:2], jnp.float32),
             jnp.zeros_like(nodes_f), jnp.zeros_like(tris))
 
 
@@ -475,8 +479,8 @@ def _recompute(ro, rd, rows, tri_ok):
     return t, jnp.where(ok[..., None], n, 0.0), jnp.where(ok, iu, 0.0), jnp.where(ok, iv, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def packet_closest_hit(ro, rd, cull, pack, n_nodes_padded: int, interpret: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def packet_closest_hit(ro, rd, cull, act, pack, n_nodes_padded: int, interpret: bool):
     """Closest hit over a clusterized BVH for an (H, W) ray wavefront.
 
     ro/rd: (H, W, 3) object-space rays (rd unnormalized).  cull: scalar
@@ -490,6 +494,7 @@ def packet_closest_hit(ro, rd, cull, pack, n_nodes_padded: int, interpret: bool)
     rays = jnp.stack(
         [_to_blocks(ro[..., k], h, w) for k in range(3)]
         + [_to_blocks(rd[..., k], h, w) for k in range(3)]
+        + [_to_blocks(act, h, w)]
     )
     # cull arrives as f32 (0/1) so every custom-vjp input is float-typed.
     cull2 = jnp.reshape((cull > 0.5).astype(jnp.int32), (1, 1))
@@ -502,8 +507,8 @@ def packet_closest_hit(ro, rd, cull, pack, n_nodes_padded: int, interpret: bool)
     return t, n, us, vs, tri
 
 
-def _pch_fwd(ro, rd, cull, pack, n_nodes_padded, interpret):
-    out = packet_closest_hit(ro, rd, cull, pack, n_nodes_padded, interpret)
+def _pch_fwd(ro, rd, cull, act, pack, n_nodes_padded, interpret):
+    out = packet_closest_hit(ro, rd, cull, act, pack, n_nodes_padded, interpret)
     t, n, us, vs, tri = out
     return out, (ro, rd, pack, tri)
 
@@ -539,7 +544,7 @@ def _pch_bwd(n_nodes_padded, interpret, res, cot):
     # BVH node tables and packed triangle records are non-differentiable
     # data (geometry grads flow through ro/rd, i.e. the model inv-matrix).
     zero_pack = jax.tree_util.tree_map(_zeros_ct, pack)
-    return g_ro, g_rd, jnp.zeros((), jnp.float32), zero_pack
+    return g_ro, g_rd, jnp.zeros((), jnp.float32), jnp.zeros(ro.shape[:2], jnp.float32), zero_pack
 
 
 packet_closest_hit.defvjp(_pch_fwd, _pch_bwd)

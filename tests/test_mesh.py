@@ -163,7 +163,8 @@ def test_packet_traversal_matches_wavefront_with_node_padding():
     ro = jnp.asarray(rng.uniform(-20, 20, (h, w, 3)), jnp.float32)
     rd = normalize(jnp.asarray(rng.normal(size=(h, w, 3)), jnp.float32))
     t_pk, n_pk, u_pk, v_pk, tri_pk = packet_closest_hit(
-        ro, rd, jnp.asarray(0.0), (jnp.asarray(pk.nodes_f), jnp.asarray(pk.nodes_i), jnp.asarray(pk.tris)),
+        ro, rd, jnp.asarray(0.0), jnp.ones(ro.shape[:2], jnp.float32),
+        (jnp.asarray(pk.nodes_f), jnp.asarray(pk.nodes_i), jnp.asarray(pk.tris)),
         int(pk.nodes_f.shape[0]), True,
     )
     t_wf, tri_wf, _, _ = traverse_bvh(
@@ -307,7 +308,7 @@ def test_packet_kernel_at_reference_scale_300k():
         [rng.normal(0, 0.05, (h, w)), -np.ones((h, w)),
          rng.normal(0, 0.05, (h, w))], -1).astype(np.float32)))
     t_pk, _, _, _, tri_pk = packet_closest_hit(
-        ro, rd, jnp.asarray(0.0),
+        ro, rd, jnp.asarray(0.0), jnp.ones(ro.shape[:2], jnp.float32),
         (jnp.asarray(pk.nodes_f), jnp.asarray(pk.nodes_i), jnp.asarray(pk.tris)),
         int(pk.nodes_f.shape[0]), True)
     assert (np.asarray(tri_pk) >= 0).all()  # downward rays all hit the field
@@ -363,11 +364,12 @@ def test_hbm_streaming_walk_matches_packet_walk():
     ro = jnp.asarray(rng.uniform(-20, 20, (h, w, 3)), jnp.float32)
     rd = normalize(jnp.asarray(rng.normal(size=(h, w, 3)), jnp.float32))
     t_pk, _, u_pk, v_pk, tri_pk = packet_closest_hit(
-        ro, rd, jnp.asarray(0.0),
+        ro, rd, jnp.asarray(0.0), jnp.ones(ro.shape[:2], jnp.float32),
         (jnp.asarray(pk.nodes_f), jnp.asarray(pk.nodes_i), jnp.asarray(pk.tris)),
         int(pk.nodes_f.shape[0]), True)
     t_hb, _, u_hb, v_hb, slot = hbm_closest_hit(
-        ro, rd, jnp.asarray(0.0), jnp.asarray(fz.nodes_f), jnp.asarray(fz.tris),
+        ro, rd, jnp.asarray(0.0), jnp.ones(ro.shape[:2], jnp.float32),
+        jnp.asarray(fz.nodes_f), jnp.asarray(fz.tris),
         True)
     hit_pk = np.asarray(tri_pk) >= 0
     hit_hb = np.asarray(slot) >= 0
