@@ -34,6 +34,11 @@ def maybe_force_cpu(args) -> None:
 
 
 def run_and_save(renderer, camera, args, default_name: str) -> np.ndarray:
+    # warm-up render so the reported rate is post-compile (the first pass
+    # pays the one-time jit/Mosaic compiles, ~20-60 s on the tunneled TPU)
+    t0 = time.time()
+    renderer.render(camera, spp=args.spp)
+    compile_s = time.time() - t0
     t0 = time.time()
     renderer.render(camera, spp=args.spp)
     img = np.asarray(renderer.display(apply_denoise=not args.no_denoise, exposure=args.exposure))
@@ -41,7 +46,7 @@ def run_and_save(renderer, camera, args, default_name: str) -> np.ndarray:
     rays = args.size * args.size * args.bounces * args.spp
     print(
         f"{default_name}: {args.size}x{args.size} {args.spp}spp {args.bounces}b "
-        f"in {dt:.1f}s ({rays/dt/1e6:.1f} Mrays/s incl. compile)"
+        f"in {dt:.1f}s ({rays/dt/1e6:.1f} Mrays/s; compile+first sample {compile_s:.1f}s)"
     )
     out = args.out or f"/tmp/{default_name}.png"
     try:

@@ -36,4 +36,6 @@ def attach_pallas_path(renderer: ProgressiveRenderer, tile_rows: int = 32, tile_
         accum = finish_frame(result, state.accum, frame_counter, moving)
         return RenderState(accum=accum, sample_counter=sample_counter, frame_counter=frame_counter)
 
+    renderer._raw_step = step_state_pallas
+    renderer._scan_cache = None  # rebuild the fused-sample scan on demand
     renderer._step = jax.jit(step_state_pallas, static_argnums=(2,))

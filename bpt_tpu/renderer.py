@@ -16,6 +16,7 @@ and shardable (the buffer is just a device array a Mesh can partition).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -102,7 +103,9 @@ class ProgressiveRenderer:
         self.state = init_state(height, width)
         self._np_rng = np.random.default_rng(seed)
         self._last_cam_matrix: Optional[np.ndarray] = None
+        self._raw_step = step_state  # swapped by kernels.integration
         self._step = jax.jit(step_state, static_argnums=(2,))
+        self._scan_cache = None
 
     def camera_moved(self, camera: Camera) -> bool:
         m = np.asarray(camera.world_matrix())
@@ -119,13 +122,47 @@ class ProgressiveRenderer:
         )
         return self.state
 
-    def render(self, camera: Camera, spp: int) -> jnp.ndarray:
-        """Render spp progressive samples from scratch and return display rgb."""
+    def render(self, camera: Camera, spp: int, batch: int = 8) -> jnp.ndarray:
+        """Render spp progressive samples from scratch and return display rgb.
+
+        Samples are fused ``batch`` at a time into a single jitted
+        `lax.scan` dispatch (the camera is static within `render`, so the
+        per-sample FSM reduces to sample_counter += 1): one device round
+        trip per batch instead of per sample — on a remote/tunneled TPU the
+        per-dispatch latency otherwise dominates small frames.  Set
+        ``batch=1`` to recover strict sample-at-a-time stepping.
+        """
         self.state = init_state(self.height, self.width)
         self._last_cam_matrix = None
-        for _ in range(spp):
-            self.render_sample(camera)
+        if batch <= 1:
+            for _ in range(spp):
+                self.render_sample(camera)
+            return self.display()
+        # first sample via the normal step (it handles the reset protocol)
+        self.render_sample(camera)
+        done = 1
+        scan = self._get_scan()
+        while done < spp:
+            k = min(batch, spp - done)
+            rvs = jnp.asarray(self._np_rng.random((k, 2)), jnp.float32)
+            self.state = scan(self.scene, camera, self.cfg, self.state, rvs, self.blue_noise)
+            done += k
         return self.display()
+
+    def _get_scan(self):
+        if self._scan_cache is None:
+            raw = self._raw_step
+
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def scan_fn(scene, camera, cfg, state, rvs, bn):
+                def body(st, rv):
+                    return raw(scene, camera, cfg, st, False, rv, bn), None
+
+                out, _ = jax.lax.scan(body, state, rvs)
+                return out
+
+            self._scan_cache = scan_fn
+        return self._scan_cache
 
     def display(self, apply_denoise: bool = True, exposure: float = 1.0) -> jnp.ndarray:
         inv_n = 1.0 / jnp.maximum(self.state.sample_counter, 1.0)

@@ -86,3 +86,24 @@ def test_env_cdf_importance_sampling_targets_bright_region():
     vals = np.asarray(get_hdr_color(jnp.asarray(img), dirs, 1.0))
     assert (vals.sum(-1) > 1.0).mean() > 0.8
     assert (np.asarray(pdf) > 0).all()
+
+
+def test_batched_render_equals_per_sample_stepping():
+    """render(spp, batch=k) fuses still-camera samples into one lax.scan
+    dispatch; the rand_vec2 stream and counter FSM are identical to
+    sample-at-a-time stepping, so the accumulation is bit-equal."""
+    import numpy as np
+
+    from bpt_tpu.integrator import IntegratorConfig
+    from bpt_tpu.renderer import ProgressiveRenderer
+    from bpt_tpu.scenes.cornell import cornell_camera, cornell_scene
+
+    scene, cam = cornell_scene(), cornell_camera()
+    cfg = IntegratorConfig(bounces=2)
+    r1 = ProgressiveRenderer(scene, cfg, 24, 24, seed=7)
+    r2 = ProgressiveRenderer(scene, cfg, 24, 24, seed=7)
+    img1 = np.asarray(r1.render(cam, spp=7, batch=1))
+    img2 = np.asarray(r2.render(cam, spp=7, batch=3))
+    assert float(r1.state.sample_counter) == float(r2.state.sample_counter) == 7.0
+    np.testing.assert_array_equal(np.asarray(r1.state.accum), np.asarray(r2.state.accum))
+    np.testing.assert_array_equal(img1, img2)
