@@ -46,7 +46,7 @@ def run_and_save(renderer, camera, args, default_name: str) -> np.ndarray:
     rays = args.size * args.size * args.bounces * args.spp
     print(
         f"{default_name}: {args.size}x{args.size} {args.spp}spp {args.bounces}b "
-        f"in {dt:.1f}s ({rays/dt/1e6:.1f} Mrays/s; compile+first sample {compile_s:.1f}s)"
+        f"in {dt:.1f}s ({rays/dt/1e6:.1f} Mrays/s; compile+warm-up render {compile_s:.1f}s)"
     )
     out = args.out or f"/tmp/{default_name}.png"
     try:

@@ -33,7 +33,8 @@ def main():
                    help="'sun' = reference sun-lobe NEE; 'env' = luminance-"
                         "CDF importance sampling (wavefront only)")
     p.add_argument("--pallas", action="store_true",
-                   help="fused Pallas megakernel (untextured models)")
+                   help="fused Pallas megakernel (textured models use the "
+                        "deferred-PBR composition)")
     p.add_argument("--model", default="duck")
     p.add_argument("--models-dir", default="/root/reference/models")
     p.add_argument("--hdr", default=None, help="path to an equirect .hdr")

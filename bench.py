@@ -53,9 +53,16 @@ def bench_gltf(args):
 
     # scene rides the jit ARGUMENTS (not closure constants): packed PBR
     # textures are hundreds of MB and would blow up the serialized HLO
+    from bpt_tpu.kernels.megakernel import _all_parallelograms
+
+    fast_quads = _all_parallelograms(scene.quads)
+
     def k_frames(s, frame0):
         def body(acc, fc):
-            r = trace_image_pallas(s, cam, cfg, w, h, fc, rv, bn)
+            r = trace_image_pallas(s, cam, cfg, w, h, fc, rv, bn,
+                                   tile_rows=args.tile_rows,
+                                   tile_cols=args.tile_cols,
+                                   fast_quads=fast_quads)
             return acc + r.color, None
 
         out, _ = jax.lax.scan(

@@ -216,7 +216,10 @@ def pack_clustered_dense(
             slots.extend(int(t) for t in tri_order[s:s + c])
             slots.extend([-1] * (-c % 4))
     n_rows = len(slots) // 4
-    rpad = -n_rows % 8
+    # pad to a sublane multiple PLUS the HBM-streaming walk's fixed leaf-DMA
+    # window (kernels.traverse._HBM_LEAF_ROWS = 16), so a leaf copy may read
+    # past its own rows but never past the table — no per-call re-padding
+    rpad = (-n_rows % 8) + 16
     order = np.asarray(slots + [-1] * (rpad * 4), np.int32)
 
     rows = np.zeros((n_rows + rpad, 128), np.float32)

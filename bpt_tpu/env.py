@@ -106,21 +106,25 @@ def sample_env_cdf(cdf: EnvCDF, u1, u2):
     Directions follow get_hdr_color's equirect convention so that
     get_hdr_color(img, dir) looks up (approximately) the sampled texel.
     """
-    import jax
-
     h = cdf.row_cdf.shape[0]
     w = cdf.col_cdf.shape[1]
     u1 = jnp.asarray(u1)
     u2 = jnp.asarray(u2)
     row = jnp.clip(jnp.searchsorted(cdf.row_cdf, u1), 0, h - 1)
-    col_cdf_row = cdf.col_cdf[row]  # (..., W)
-    if col_cdf_row.ndim == 1:
-        col = jnp.searchsorted(col_cdf_row, u2)
-    else:
-        col = jax.vmap(jnp.searchsorted)(
-            col_cdf_row.reshape(-1, w), u2.reshape(-1)
-        ).reshape(u2.shape)
-    col = jnp.clip(col, 0, w - 1)
+    # Per-lane lower_bound over the row's conditional CDF via an explicit
+    # binary search of single-texel gathers: materializing cdf.col_cdf[row]
+    # would be a (lanes, W) array — ~8.6 GB for a 1024^2 frame against a
+    # 2048-wide HDR.  ceil(log2 W) gathers of (lanes,) instead.
+    lo = jnp.zeros(u2.shape, jnp.int32)
+    hi = jnp.full(u2.shape, w, jnp.int32)
+    n_steps = max(1, int(np.ceil(np.log2(max(w, 2)))))
+    for _ in range(n_steps):
+        mid = (lo + hi) // 2
+        v = cdf.col_cdf[row, jnp.clip(mid, 0, w - 1)]
+        go_hi = v < u2  # first index with cdf >= u2
+        lo = jnp.where(go_hi, mid + 1, lo)
+        hi = jnp.where(go_hi, hi, mid)
+    col = jnp.clip(lo, 0, w - 1)
     v = (row.astype(jnp.float32) + 0.5) / h
     u = (col.astype(jnp.float32) + 0.5) / w
     theta = v * jnp.pi  # acos(-y)

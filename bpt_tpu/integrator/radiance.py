@@ -273,6 +273,10 @@ def calculate_radiance(
             # env lighting at every diffuse/coat vertex.
             from bpt_tpu.env import EnvCDF, sample_env_cdf
 
+            if scene.env is None or scene.env.env_cdf is None:
+                raise ValueError(
+                    "nee='env' needs scene.env.env_cdf — build it with "
+                    "bpt_tpu.env.build_env_cdf (hdri_scene does this)")
             env_nee_dir, env_pdf = sample_env_cdf(
                 EnvCDF(*scene.env.env_cdf), lc, lp
             )

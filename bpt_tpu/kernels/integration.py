@@ -22,6 +22,12 @@ def attach_pallas_path(renderer: ProgressiveRenderer, tile_rows: int = 32, tile_
     height, width = renderer.height, renderer.width
     tile_rows = min(tile_rows, height)
     tile_cols = min(tile_cols, width)
+    # static scene facts must be decided here, while the scene is concrete —
+    # inside the jitted step the quad vertices are tracers and the
+    # parallelogram fast path would silently stay off
+    from bpt_tpu.kernels.megakernel import _all_parallelograms
+
+    fast_quads = _all_parallelograms(renderer.scene.quads)
 
     def step_state_pallas(scene, camera, _cfg, state, camera_is_moving, rand_vec2, blue_noise):
         moving = jnp.asarray(camera_is_moving, bool)
@@ -32,6 +38,7 @@ def attach_pallas_path(renderer: ProgressiveRenderer, tile_rows: int = 32, tile_
             scene, camera, cfg, width, height, frame_counter, rand_vec2, blue_noise,
             tile_rows=tile_rows, tile_cols=tile_cols,
             interpret=jax.default_backend() != "tpu",
+            fast_quads=fast_quads,
         )
         accum = finish_frame(result, state.accum, frame_counter, moving)
         return RenderState(accum=accum, sample_counter=sample_counter, frame_counter=frame_counter)

@@ -1140,6 +1140,13 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                     cls_pl, rough_pl, emis_pl = walk[7:10]
                     mat = jnp.where(hit_m, cls_pl, mat)
                     pbr_hit = hit_m
+                    # wrap UVs to [0,1) NOW: sampling REPEAT-wraps anyway
+                    # (exactly — the pixel index shifts by a whole texture
+                    # period), and it keeps the deferred records' u >= 0 so
+                    # the -1 'no factor' sentinel cannot collide with
+                    # legitimate negative glTF UVs
+                    m_u = m_u - jnp.floor(m_u)
+                    m_v = m_v - jnp.floor(m_v)
                 else:
                     mat = jnp.where(hit_m, mesh_s_ref[16], mat)
                 hid = jnp.where(hit_m, f32(oid_counter), hid)
@@ -1882,6 +1889,7 @@ def trace_image_pallas(
     interpret: bool = False,
     differentiable: bool = False,
     mesh_sub_rows: int | None = None,
+    fast_quads: bool | None = None,
 ):
     """Pallas forward of the Cornell-, quadric-, sky-, glTF- and HDRI-family
     radiance pass.
@@ -1962,7 +1970,11 @@ def trace_image_pallas(
     bn_planes = _blue_noise_planes(jnp.asarray(blue_noise), height, width, jnp.asarray(rand_vec2))
     tile_rows = min(tile_rows, height)
     tile_cols = min(tile_cols, width)
-    fast_quads = _all_parallelograms(scene.quads)
+    if fast_quads is None:
+        # NB: under jit tracing the vertices are tracers and this resolves
+        # to False — callers with a concrete scene (attach_pallas_path,
+        # bench) should decide once and pass fast_quads explicitly.
+        fast_quads = _all_parallelograms(scene.quads)
     mesh_textured = scene.mesh is not None and scene.mesh.albedo is not None
     # Packet granularity heuristic: big meshes diverge more than the
     # whole-tile shared cursor tolerates — drop to (8, cols) sub-packets

@@ -378,12 +378,11 @@ def hbm_closest_hit(ro, rd, cull, act, nodes_f, tris, interpret: bool = False):
         + [_to_blocks(act, h, w)]
     )
     cull2 = jnp.reshape((cull > 0.5).astype(jnp.int32), (1, 1))
-    # over-pad so the fixed-size leaf DMA can never run off the table
-    tris_p = jnp.concatenate(
-        [tris, jnp.zeros((_HBM_LEAF_ROWS, 128), tris.dtype)], axis=0
-    )
+    # the dense pack is over-padded by _HBM_LEAF_ROWS at pack time
+    # (accel.cluster.pack_clustered_dense), so the fixed-size leaf DMA can
+    # never run off the table — no copy here
     fout, iout = _traverse_call_hbm(
-        rays, cull2, nodes_f, tris_p, int(nodes_f.shape[0]), interpret
+        rays, cull2, nodes_f, tris, int(nodes_f.shape[0]), interpret
     )
     t = _from_blocks(fout[0], h, w)
     n = jnp.stack([_from_blocks(fout[1 + k], h, w) for k in range(3)], axis=-1)

@@ -70,7 +70,11 @@ def test_multiprocess_mesh_matches_single_process(n_procs):
         script = os.path.join(td, "worker.py")
         with open(script, "w") as f:
             f.write(_WORKER)
-        port = "12786"
+        import socket
+
+        with socket.socket() as s:  # grab a free port (avoids collisions)
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
         env = dict(os.environ)
         env["XLA_FLAGS"] = (
             env.get("XLA_FLAGS", "")
