@@ -180,3 +180,61 @@ def test_transform_gradient_interior_pixels_match_fd_exactly():
                                atol=2e-2 * scale, rtol=2e-2)
     # the gradient is genuinely nonzero somewhere in the interior
     assert np.abs(ad[interior]).max() > 1e-4
+
+
+@pytest.mark.parametrize("name,scale,flip", [
+    ("Duck.gltf", 10.0, False),
+    ("StanfordBunny.glb", 0.05, True),
+    ("DamagedHelmet.gltf", 15.0, True),
+])
+def test_gltf_asset_albedo_pixel_gradients_match_fd(name, scale, flip):
+    """BASELINE mandate: pixel gradients on the real glTF demo assets,
+    allclose (rtol 1e-3 class) vs matched-RNG central differences.
+
+    The parameter is a global albedo tint (multiplying the PBR albedo map,
+    or the surface color for the untextured bunny) — a smooth parameter, so
+    the detached-sampling estimator's gradient must equal the FD of the
+    same fixed-path estimator almost exactly."""
+    import os
+
+    from bpt_tpu.core.rng import blue_noise_table
+    from bpt_tpu.integrator.frame import trace_image
+    from bpt_tpu.io import load_gltf
+    from bpt_tpu.scenes.gltf_scene import gltf_camera, gltf_scene, mesh_from_model
+
+    path = os.path.join("/root/reference/models", name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not mounted")
+    model = load_gltf(path, initial_scale=scale, flip_z=flip)
+    mesh0 = mesh_from_model(model, mat_type=1)
+    cam = gltf_camera()
+    cfg = IntegratorConfig(bounces=2,
+                           metal_roughness_lobe=model.albedo is not None)
+    bn = jnp.asarray(blue_noise_table())
+    rv = jnp.asarray([0.3, 0.7], jnp.float32)
+    res = 32
+
+    def render(tint):
+        if model.albedo is not None:
+            from bpt_tpu.textures import quad_pack
+
+            alb = jnp.asarray(model.albedo) * tint
+            mesh = mesh0._replace(albedo=alb, albedo_q=quad_pack(alb))
+            s = gltf_scene(mesh)
+        else:
+            s = gltf_scene(mesh0)
+            spheres = s.spheres._replace(color=s.spheres.color * tint)
+            s = s._replace(spheres=spheres)
+        return trace_image(s, cam, cfg, res, res, 2.0, rv, bn).color
+
+    t0 = jnp.asarray(1.0)
+    _, dpix = jax.jvp(render, (t0,), (jnp.ones(()),))
+    h = 1e-3
+    fd = (np.asarray(render(t0 + h)) - np.asarray(render(t0 - h))) / (2 * h)
+    ad = np.asarray(dpix)
+    assert np.isfinite(ad).all()
+    scale_ = max(np.abs(fd).max(), 1e-6)
+    # matched RNG: FD of the same program; tolerance covers fp32 accumulation
+    # and the rare borderline discrete flip at this eps
+    close = np.isclose(ad, fd, rtol=1e-3, atol=2e-3 * scale_)
+    assert close.mean() > 0.99, close.mean()
