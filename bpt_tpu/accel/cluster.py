@@ -201,6 +201,15 @@ def pack_clustered_dense(
     ``tri_attr``: optional (T, <=8) per-triangle attribute floats placed in
     the record's free slots 24..31 — the fused kernel's PBR material-decision
     attributes (see scenes.gltf_scene.bake_triangle_attrs)."""
+    # The HBM-streaming walk (kernels.traverse) DMAs a FIXED window of
+    # _HBM_LEAF_ROWS = 16 rows per leaf; a leaf wider than 16 rows (64 tris)
+    # would silently read stale scratch rows beyond the copy.  Fail loudly
+    # at pack time instead (advisor r3 finding).
+    if leaf_size > 64:
+        raise ValueError(
+            f"leaf_size={leaf_size} > 64 exceeds the 16-row per-leaf DMA "
+            "window of the HBM-streaming walk (kernels.traverse._HBM_LEAF_ROWS)"
+        )
     node_min, node_max, rec, tri_order = clusterize_bvh(bvh, leaf_size)
     n_nodes = len(rec)
 

@@ -122,14 +122,19 @@ def blue_noise_table(size: int = 256, path: str | None = None) -> np.ndarray:
     Loads the reference's pre-baked 256x256 RGBA blue-noise asset
     (textures/BlueNoise_RGBA256.png — the texture behind blueNoise_rand's
     visible-noise quality, README.md:45) when present and the size matches.
-    Falls back to synthesized interleaved-gradient noise (Jimenez 2014, a
-    closed-form blue-noise substitute for threshold decisions with
-    per-channel phase offsets) when the asset or PIL is unavailable.
+    The asset path can be overridden with the BPT_BLUE_NOISE_PATH environment
+    variable (deployments without the reference checkout).  Falls back — with
+    a loud warning, since output differs across environments otherwise — to
+    synthesized interleaved-gradient noise (Jimenez 2014, a closed-form
+    blue-noise substitute for threshold decisions with per-channel phase
+    offsets) when the asset or PIL is unavailable.
     """
+    import os
+
     key = (size, path)
     if key in _bn_cache:
         return _bn_cache[key]
-    p = path or _BLUE_NOISE_PNG
+    p = path or os.environ.get("BPT_BLUE_NOISE_PATH") or _BLUE_NOISE_PNG
     if size == 256:
         try:
             from PIL import Image
@@ -141,6 +146,15 @@ def blue_noise_table(size: int = 256, path: str | None = None) -> np.ndarray:
                 return arr
         except Exception:
             pass
+        import warnings
+
+        warnings.warn(
+            f"blue-noise asset not loadable from {p!r} (set BPT_BLUE_NOISE_PATH"
+            " to relocate it); falling back to synthesized IGN noise — decision"
+            " noise, and therefore rendered output, will differ from"
+            " environments that have the asset",
+            stacklevel=2,
+        )
     y, x = np.mgrid[0:size, 0:size].astype(np.float64)
     chans = []
     # Per-channel offsets: shift the lattice by large co-prime strides.

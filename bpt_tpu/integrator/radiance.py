@@ -21,7 +21,10 @@ on every bounce, so the stream position is a static function of
   blue-noise:  gate1 (P / 50-50 decision), gate2 (clearcoat base 50-50)
   hash:        hem.r, hem.phi            (cosine-hemisphere site)
                [quad.x, quad.y, quad.z]  (iff nee == "quad")
-               [lobe.cos, lobe.phi]      (iff nee == "sun" or metal lobe on)
+               [lobe.cos, lobe.phi]      (iff nee in ("sun", "env") or the
+                                          metal roughness lobe is on — for
+                                          nee == "env" the pair feeds the
+                                          inverse-CDF env sample)
 
 Discrete decisions (blue-noise gates, material selection, NEE light-point
 picks) are detached from the gradient graph (`stop_gradient`) — the

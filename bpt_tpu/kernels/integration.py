@@ -29,6 +29,24 @@ def attach_pallas_path(renderer: ProgressiveRenderer, tile_rows: int = 32, tile_
 
     fast_quads = _all_parallelograms(renderer.scene.quads)
 
+    # the compiled step is bound to the attach-time decision; if the caller
+    # later swaps in a scene whose quads are NOT parallelograms, the fast
+    # path would silently return wrong quad hits — re-validate whenever a
+    # different quad object shows up (advisor r3 finding)
+    _seen_quads = {id(renderer.scene.quads)}
+
+    def _scene_guard(scene):
+        key = id(scene.quads)
+        if key in _seen_quads:
+            return
+        if fast_quads and not _all_parallelograms(scene.quads):
+            raise ValueError(
+                "attach_pallas_path compiled the parallelogram quad fast path "
+                "for the attach-time scene, but this scene's quads are not "
+                "parallelograms — re-attach the Pallas path for this scene"
+            )
+        _seen_quads.add(key)
+
     def step_state_pallas(scene, camera, _cfg, state, camera_is_moving, rand_vec2, blue_noise):
         moving = jnp.asarray(camera_is_moving, bool)
         was_still = state.sample_counter != 1.0
@@ -45,4 +63,5 @@ def attach_pallas_path(renderer: ProgressiveRenderer, tile_rows: int = 32, tile_
 
     renderer._raw_step = step_state_pallas
     renderer._scan_cache = None  # rebuild the fused-sample scan on demand
+    renderer._scene_guard = _scene_guard
     renderer._step = jax.jit(step_state_pallas, static_argnums=(2,))

@@ -75,6 +75,12 @@ def host_row_range(height: int, mesh: Mesh, axis: str = "tiles") -> tuple[int, i
     """[row0, row1) of the image owned by THIS process under row sharding —
     host-count-aware tiling for input pipelines / per-host IO."""
     n = mesh.shape[axis]
+    if height % n:
+        raise ValueError(
+            f"height={height} must divide evenly over the {n}-way '{axis}' "
+            "axis (same requirement as the sharded renderer); a remainder "
+            "would leave rows no host owns"
+        )
     tile_rows = height // n
     locals_ = [
         i for i, d in enumerate(mesh.devices.reshape(-1))

@@ -106,6 +106,10 @@ class ProgressiveRenderer:
         self._raw_step = step_state  # swapped by kernels.integration
         self._step = jax.jit(step_state, static_argnums=(2,))
         self._scan_cache = None
+        # optional concrete-scene validator installed by attach_pallas_path:
+        # re-checks attach-time static scene facts (e.g. the parallelogram
+        # quad fast path) when a different scene object is passed later
+        self._scene_guard = None
 
     def camera_moved(self, camera: Camera) -> bool:
         m = np.asarray(camera.world_matrix())
@@ -116,6 +120,8 @@ class ProgressiveRenderer:
     def render_sample(self, camera: Camera, force_reset: bool = False) -> RenderState:
         """Advance one frame; returns the new state (also stored)."""
         moving = self.camera_moved(camera) or force_reset
+        if self._scene_guard is not None:
+            self._scene_guard(self.scene)
         rand_vec2 = jnp.asarray(self._np_rng.random(2), jnp.float32)
         self.state = self._step(
             self.scene, camera, self.cfg, self.state, moving, rand_vec2, self.blue_noise
