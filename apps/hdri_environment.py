@@ -31,7 +31,8 @@ def main():
     p = base_parser("HDRI environment path tracer")
     p.add_argument("--nee", choices=("sun", "env"), default="sun",
                    help="'sun' = reference sun-lobe NEE; 'env' = luminance-"
-                        "CDF importance sampling (wavefront only)")
+                        "CDF importance sampling (fused path precomputes the "
+                        "inverse-CDF draw planes per bounce)")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas megakernel (textured models use the "
                         "deferred-PBR composition)")
@@ -59,8 +60,6 @@ def main():
         sun_lobe_roughness=0.03, diffuse_indirect_max=2,
         metal_roughness_lobe=model.albedo is not None,
     )
-    if args.pallas and args.nee == "env":
-        raise SystemExit("--nee env is wavefront-only (no in-kernel CDF search)")
     r = ProgressiveRenderer(scene, cfg, args.size, args.size)
     if args.pallas:
         from bpt_tpu.kernels.integration import attach_pallas_path

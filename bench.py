@@ -62,7 +62,9 @@ def bench_gltf(args):
             r = trace_image_pallas(s, cam, cfg, w, h, fc, rv, bn,
                                    tile_rows=args.tile_rows,
                                    tile_cols=args.tile_cols,
-                                   fast_quads=fast_quads)
+                                   fast_quads=fast_quads,
+                                   reorder=args.reorder,
+                                   mesh_sub_rows=args.sub_rows)
             return acc + r.color, None
 
         out, _ = jax.lax.scan(
@@ -79,9 +81,10 @@ def bench_gltf(args):
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / args.iters
     rays_per_s = h * w * args.bounces * args.frames / dt
+    walk = "sorted staged walk" if args.reorder else "in-loop BVH walk"
     print(json.dumps({
         "metric": f"rays/s/chip fwd {h}x{w} {args.bounces} bounces "
-                  f"({args.model} glTF, fused megakernel + in-loop BVH walk)",
+                  f"({args.model} glTF, fused megakernel + {walk})",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / (1e9 / 16.0), 4),
@@ -102,6 +105,12 @@ def main():
                    choices=("teapot", "bunny", "duck", "helmet"))
     p.add_argument("--tile-rows", type=int, default=32)
     p.add_argument("--tile-cols", type=int, default=256)
+    p.add_argument("--reorder", action="store_true",
+                   help="staged sorted-wavefront mode: per-bounce ray "
+                        "reordering + dead-lane compaction (mesh scenes)")
+    p.add_argument("--sub-rows", type=int, default=None,
+                   help="mesh packet granularity override (rows per shared "
+                        "cursor; default: auto heuristic)")
     p.add_argument("--scene", choices=("cornell", "gltf"), default="cornell",
                    help="'gltf' = teapot-in-Cornell on the fused in-loop BVH "
                         "walk (forward only)")

@@ -476,7 +476,7 @@ def _safe_inv_slab(x):
     return jnp.where(jnp.abs(x) < 1e-20, 1e20, 1.0 / jnp.where(x == 0.0, 1.0, x))
 
 
-def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, active=None, textured=False):
+def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, active=None, textured=False, stream=None):
     """Escape-linked packet walk of the dense clustered BVH for ONE
     sub-packet of rays — the fused-kernel analog of the reference's 28-deep
     per-pixel stack traversal (GLTFModelPathTracing_FragmentShader.js:206-298)
@@ -498,6 +498,14 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
     follow hit: the winning triangle's baked PBR decision attributes
     (mat_class, roughness, emissive_flag — record floats 24..26, see
     scenes.gltf_scene.bake_triangle_attrs).
+
+    ``stream``: None keeps the whole triangle table VMEM-resident; a
+    ``(scratch_ref (2, 16, 128), dma_sem (2,))`` pair instead treats
+    ``tris_ref`` as HBM-resident and double-buffers a fixed 16-row window
+    per leaf — discovering a leaf STARTS its copy and processes the
+    PREVIOUS pending leaf, hiding the HBM round trip behind node stepping
+    (same pipeline as kernels.traverse._make_hbm_kernel; requires the
+    dense pack's 16-row over-padding and leaf_size <= 64).
     """
     rox, roy, roz = ro_o
     rdx, rdy, rdz = rd_o
@@ -506,12 +514,62 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
     invz = _safe_inv_slab(rdz)
     shape = rox.shape
     zeros = jnp.zeros(shape, jnp.float32)
+    n_extra = 3 if textured else 0
 
-    def cond(c):
-        return c[0] < n_nodes_p
+    def tri_rows(row_get, nrows, c3):
+        """MT-test `nrows` packed rows (4 records each) against the packet."""
 
-    def body(c):
-        i, t_best, nx, ny, nz, us, vs, *attrs = c
+        def row_body(k, c4):
+            t_best, nx, ny, nz, us, vs, *attrs = c4
+            attrs = list(attrs)
+            row = row_get(k)  # (1, 128): 4 records
+            for j in range(4):
+                o = 32 * j
+                p0x, p0y, p0z = row[0, o + 0], row[0, o + 1], row[0, o + 2]
+                e1x = row[0, o + 3] - p0x
+                e1y = row[0, o + 4] - p0y
+                e1z = row[0, o + 5] - p0z
+                e2x = row[0, o + 6] - p0x
+                e2y = row[0, o + 7] - p0y
+                e2z = row[0, o + 8] - p0z
+                pvx = rdy * e2z - rdz * e2y
+                pvy = rdz * e2x - rdx * e2z
+                pvz = rdx * e2y - rdy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = _safe_inv_slab(det)
+                tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0) | (t <= 0.0)
+                miss = miss | (cull & (det < 0.0))
+                closer = jnp.logical_not(miss) & (t < t_best)
+                w = 1.0 - u - v
+                inx = w * row[0, o + 9] + u * row[0, o + 12] + v * row[0, o + 15]
+                iny = w * row[0, o + 10] + u * row[0, o + 13] + v * row[0, o + 16]
+                inz = w * row[0, o + 11] + u * row[0, o + 14] + v * row[0, o + 17]
+                iu = w * row[0, o + 18] + u * row[0, o + 20] + v * row[0, o + 22]
+                iv = w * row[0, o + 19] + u * row[0, o + 21] + v * row[0, o + 23]
+                t_best = jnp.where(closer, t, t_best)
+                nx = jnp.where(closer, inx, nx)
+                ny = jnp.where(closer, iny, ny)
+                nz = jnp.where(closer, inz, nz)
+                us = jnp.where(closer, iu, us)
+                vs = jnp.where(closer, iv, vs)
+                if textured:
+                    # baked PBR decision attrs (class, rough, emissive)
+                    attrs = [
+                        jnp.where(closer, row[0, o + 24 + a], attrs[a])
+                        for a in range(3)
+                    ]
+            return (t_best, nx, ny, nz, us, vs, *attrs)
+
+        return jax.lax.fori_loop(0, nrows, row_body, c3)
+
+    def box_test(i, t_best):
         nf = nodes_f_ref[pl.ds(i, 1), :]  # (1, 16): min max esc row0 nrows
         tx0 = (nf[0, 0] - rox) * invx
         tx1 = (nf[0, 3] - rox) * invx
@@ -532,80 +590,96 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
             # dead lanes (terminated paths) must not drag the packet into
             # subtrees: their stale rays still intersect boxes otherwise
             box_hit = box_hit & active
-        any_hit = jnp.any(box_hit)
-
         # link fields ride the float row (SMEM is 128 B/scalar — a mesh-
         # sized int side table would blow its 1 MB); exact for values < 2^24
         esc = nf[0, 6].astype(jnp.int32)
         row0 = nf[0, 7].astype(jnp.int32)
         nrows = nf[0, 8].astype(jnp.int32)
+        return jnp.any(box_hit), esc, row0, nrows
+
+    def cond(c):
+        return c[0] < n_nodes_p
+
+    if stream is None:
+        def body(c):
+            i, t_best, nx, ny, nz, us, vs, *attrs = c
+            any_hit, esc, row0, nrows = box_test(i, t_best)
+            is_leaf = nrows > 0
+
+            def leaf_fn(c2):
+                return tri_rows(
+                    lambda k: tris_ref[pl.ds(row0 + k, 1), :], nrows, c2
+                )
+
+            leaf_state = (t_best, nx, ny, nz, us, vs, *attrs)
+            t_best, nx, ny, nz, us, vs, *attrs = jax.lax.cond(
+                any_hit & is_leaf, leaf_fn, lambda c2: c2, leaf_state
+            )
+            next_i = jnp.where(any_hit & jnp.logical_not(is_leaf), i + 1, esc)
+            return (next_i, t_best, nx, ny, nz, us, vs, *attrs)
+
+        # NB: no boolean plane rides the carry (Mosaic cannot yield
+        # vector<i1>); "found a hit" is recovered as t_best < t_init
+        # afterwards — exact, since any accepted triangle strictly lowered
+        # t from its t_init start.
+        carry = (jnp.int32(0), t_init, zeros, zeros, zeros, zeros, zeros)
+        carry = carry + (zeros,) * n_extra
+        _, t_best, nx, ny, nz, us, vs, *attrs = jax.lax.while_loop(cond, body, carry)
+        return (t_best, nx, ny, nz, us, vs, t_best < t_init, *attrs)
+
+    scratch, sem = stream
+
+    def leaf_dma(row0, slot):
+        return pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row0, 16), :], scratch.at[slot], sem.at[slot]
+        )
+
+    def body(c):
+        i, pr0, pnr, slot, t_best, nx, ny, nz, us, vs, *attrs = c
+        any_hit, esc, row0, nrows = box_test(i, t_best)
         is_leaf = nrows > 0
+        take_leaf = any_hit & is_leaf
 
         def leaf_fn(c2):
-            def row_body(k, c3):
-                t_best, nx, ny, nz, us, vs, *attrs = c3
-                attrs = list(attrs)
-                row = tris_ref[pl.ds(row0 + k, 1), :]  # (1, 128): 4 records
-                for j in range(4):
-                    o = 32 * j
-                    p0x, p0y, p0z = row[0, o + 0], row[0, o + 1], row[0, o + 2]
-                    e1x = row[0, o + 3] - p0x
-                    e1y = row[0, o + 4] - p0y
-                    e1z = row[0, o + 5] - p0z
-                    e2x = row[0, o + 6] - p0x
-                    e2y = row[0, o + 7] - p0y
-                    e2z = row[0, o + 8] - p0z
-                    pvx = rdy * e2z - rdz * e2y
-                    pvy = rdz * e2x - rdx * e2z
-                    pvz = rdx * e2y - rdy * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    inv_det = _safe_inv_slab(det)
-                    tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
-                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
-                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0) | (t <= 0.0)
-                    miss = miss | (cull & (det < 0.0))
-                    closer = jnp.logical_not(miss) & (t < t_best)
-                    w = 1.0 - u - v
-                    inx = w * row[0, o + 9] + u * row[0, o + 12] + v * row[0, o + 15]
-                    iny = w * row[0, o + 10] + u * row[0, o + 13] + v * row[0, o + 16]
-                    inz = w * row[0, o + 11] + u * row[0, o + 14] + v * row[0, o + 17]
-                    iu = w * row[0, o + 18] + u * row[0, o + 20] + v * row[0, o + 22]
-                    iv = w * row[0, o + 19] + u * row[0, o + 21] + v * row[0, o + 23]
-                    t_best = jnp.where(closer, t, t_best)
-                    nx = jnp.where(closer, inx, nx)
-                    ny = jnp.where(closer, iny, ny)
-                    nz = jnp.where(closer, inz, nz)
-                    us = jnp.where(closer, iu, us)
-                    vs = jnp.where(closer, iv, vs)
-                    if textured:
-                        # baked PBR decision attrs (class, rough, emissive)
-                        attrs = [
-                            jnp.where(closer, row[0, o + 24 + a], attrs[a])
-                            for a in range(3)
-                        ]
-                return (t_best, nx, ny, nz, us, vs, *attrs)
+            # start THIS leaf's copy, then drain the pending leaf whose DMA
+            # has been in flight since its discovery (t_best is a pure min-
+            # reduction, so deferred processing changes nothing but pruning
+            # strength; leaves still process in discovery order)
+            leaf_dma(row0, 1 - slot).start()
 
-            return jax.lax.fori_loop(0, nrows, row_body, c2)
+            def drain(c3):
+                leaf_dma(pr0, slot).wait()
+                return tri_rows(
+                    lambda k: scratch[slot, pl.ds(k, 1), :], pnr, c3
+                )
+
+            return jax.lax.cond(pnr > 0, drain, lambda c3: c3, c2)
 
         leaf_state = (t_best, nx, ny, nz, us, vs, *attrs)
         t_best, nx, ny, nz, us, vs, *attrs = jax.lax.cond(
-            any_hit & is_leaf, leaf_fn, lambda c2: c2, leaf_state
+            take_leaf, leaf_fn, lambda c2: c2, leaf_state
         )
+        pr0 = jnp.where(take_leaf, row0, pr0)
+        pnr = jnp.where(take_leaf, nrows, pnr)
+        slot = jnp.where(take_leaf, 1 - slot, slot)
         next_i = jnp.where(any_hit & jnp.logical_not(is_leaf), i + 1, esc)
-        return (next_i, t_best, nx, ny, nz, us, vs, *attrs)
+        return (next_i, pr0, pnr, slot, t_best, nx, ny, nz, us, vs, *attrs)
 
-    # NB: no boolean plane rides the carry (Mosaic cannot yield vector<i1>);
-    # "found a hit" is recovered as t_best < t_init afterwards — exact, since
-    # any accepted triangle strictly lowered t from its t_init start.
-    carry = (jnp.int32(0), t_init, zeros, zeros, zeros, zeros, zeros)
-    if textured:
-        carry = carry + (zeros, zeros, zeros)
-    _, t_best, nx, ny, nz, us, vs, *attrs = jax.lax.while_loop(cond, body, carry)
+    carry = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1),
+             t_init, zeros, zeros, zeros, zeros, zeros)
+    carry = carry + (zeros,) * n_extra
+    _, pr0, pnr, slot, t_best, nx, ny, nz, us, vs, *attrs = (
+        jax.lax.while_loop(cond, body, carry)
+    )
+
+    def final_drain(c3):
+        leaf_dma(pr0, slot).wait()
+        return tri_rows(lambda k: scratch[slot, pl.ds(k, 1), :], pnr, c3)
+
+    t_best, nx, ny, nz, us, vs, *attrs = jax.lax.cond(
+        pnr > 0, final_drain, lambda c3: c3,
+        (t_best, nx, ny, nz, us, vs, *attrs),
+    )
     return (t_best, nx, ny, nz, us, vs, t_best < t_init, *attrs)
 
 
@@ -709,7 +783,35 @@ _QUADRIC_INTERSECTORS = (
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False, has_mesh: bool = False, n_nodes_p: int = 0, fast_quads: bool = False, mesh_textured: bool = False, sub_rows: int = 0):
+def _state_layout(cfg: IntegratorConfig, mesh_textured: bool) -> list:
+    """Per-lane state plane order at staged-phase boundaries.
+
+    The staged (sorted-wavefront) mode splits the bounce loop into phases
+    so the driver can REORDER rays between bounces (direction-octant +
+    hit-position sort — the round-3 'ray reordering' lever); everything a
+    path carries across a phase boundary is one f32 plane per key here.
+    Booleans ride as 0/1 floats, d_cnt as a float int, px/py as exact
+    (< 2^24) float pixel coordinates (the RNG re-seed needs them after
+    permutation)."""
+    keys = [
+        "rox", "roy", "roz", "rdx", "rdy", "rdz",
+        "m_r", "m_g", "m_b", "acc_r", "acc_g", "acc_b",
+        "alive", "spec", "samp_l", "coat", "d_cnt", "sharp",
+        "prev_metal", "px", "py",
+        "obj_nx", "obj_ny", "obj_nz", "obj_cr", "obj_cg", "obj_cb", "obj_id",
+    ]
+    if cfg.env in ("sky", "hdri"):
+        keys.append("prev_trans")
+    if cfg.env == "hdri":
+        keys += ["mw_r", "mw_g", "mw_b", "md_x", "md_y", "md_z"]
+    if mesh_textured:
+        keys += ["em_r", "em_g", "em_b", "em_u", "em_v"]
+        for b in range(cfg.bounces):
+            keys += [f"alb_u{b}", f"alb_v{b}"]
+    return keys
+
+
+def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False, has_mesh: bool = False, n_nodes_p: int = 0, fast_quads: bool = False, mesh_textured: bool = False, sub_rows: int = 0, bounce_lo: int = 0, bounce_hi: int | None = None, staged: bool = False, mesh_stream: bool = False):
     eps = cfg.eps_intersect
     if sub_rows <= 0:
         sub_rows = tile_rows
@@ -718,6 +820,21 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
     env_sky = cfg.env == "sky"
     env_hdri = cfg.env == "hdri"
     has_quad_light = cfg.nee == "quad"
+    # env importance-sampling NEE (wavefront radiance.py:267-284): the
+    # inverse-CDF draw is a pure function of (pixel, frame, bounce) under the
+    # fixed schedule, so it is precomputed OUTSIDE the kernel
+    # (trace_image_pallas) and arrives as 4 extra planes per bounce appended
+    # to the blue-noise stack: direction xyz + weight-base 1/(pi*max(pdf,eps)).
+    env_nee = cfg.nee == "env"
+    assert not (env_nee and has_quad_light)
+    use_lobe = (cfg.nee in ("sun", "env")) or cfg.metal_roughness_lobe
+    if bounce_hi is None:
+        bounce_hi = cfg.bounces
+    state_in = staged and bounce_lo > 0
+    layout = _state_layout(cfg, mesh_textured) if staged else None
+    if staged:
+        assert not param_grads, "staged mode has no path-replay VJP (use the monolithic kernel)"
+    assert mesh_stream <= staged and mesh_stream <= has_mesh
 
     def kernel(*args):
         # cam (16,) SMEM: pos3 right3 up3 fwd3 ulen vlen aperture focus
@@ -750,89 +867,139 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             i_arg += 3
         bn_ref = args[i_arg]
         i_arg += 1
-        (col_r, col_g, col_b, onx, ony, onz, ocr, ocg, ocb, oid, osh) = args[i_arg:i_arg + 11]
-        i_arg += 11
-        if env_hdri:
-            (mw_r_o, mw_g_o, mw_b_o, md_x_o, md_y_o, md_z_o) = args[i_arg:i_arg + 6]
-            i_arg += 6
-        if mesh_textured:
-            # deferred PBR records: per-bounce albedo-factor UVs (u < 0 ⇒
-            # no factor this bounce) + one emissive-terminal record
-            # (throughput + UV) — the texel fetches happen outside the
-            # kernel, exactly once per plane (see trace_image_pallas).
-            alb_uv_o = args[i_arg:i_arg + 2 * cfg.bounces]
-            i_arg += 2 * cfg.bounces
-            (em_r_o, em_g_o, em_b_o, em_u_o, em_v_o) = args[i_arg:i_arg + 5]
-            i_arg += 5
-        maybe_sg = args[i_arg:]
+        st_in_ref = st_out_ref = stream_scratch = stream_sem = None
+        if staged:
+            # staged (sorted-wavefront) phase: per-lane state rides ONE
+            # (S, TH, W) plane stack in and out; the driver permutes lanes
+            # between phases (the ray-reordering seam).
+            if state_in:
+                st_in_ref = args[i_arg]
+                i_arg += 1
+            st_out_ref = args[i_arg]
+            i_arg += 1
+            if mesh_stream:
+                stream_scratch, stream_sem = args[i_arg:i_arg + 2]
+                i_arg += 2
+        else:
+            (col_r, col_g, col_b, onx, ony, onz, ocr, ocg, ocb, oid, osh) = args[i_arg:i_arg + 11]
+            i_arg += 11
+            if env_hdri:
+                (mw_r_o, mw_g_o, mw_b_o, md_x_o, md_y_o, md_z_o) = args[i_arg:i_arg + 6]
+                i_arg += 6
+            if mesh_textured:
+                # deferred PBR records: per-bounce albedo-factor UVs (u < 0 ⇒
+                # no factor this bounce) + one emissive-terminal record
+                # (throughput + UV) — the texel fetches happen outside the
+                # kernel, exactly once per plane (see trace_image_pallas).
+                alb_uv_o = args[i_arg:i_arg + 2 * cfg.bounces]
+                i_arg += 2 * cfg.bounces
+                (em_r_o, em_g_o, em_b_o, em_u_o, em_v_o) = args[i_arg:i_arg + 5]
+                i_arg += 5
+            maybe_sg = args[i_arg:]
         f32 = jnp.float32
-        row0 = pl.program_id(0) * tile_rows
-        col0 = pl.program_id(1) * tile_cols
-        py_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_cols), 0) + row0
-        px_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_cols), 1) + col0
 
         frame = scalars_ref[0]
         moving = scalars_ref[1] > 0.5
-
-        # --- RNG seeds (absolute pixel coords) ---------------------------
         fu = frame.astype(jnp.int32).astype(jnp.uint32)
-        sx = fu * px_i.astype(jnp.uint32)
-        sy = (fu + 1) * py_i.astype(jnp.uint32)
 
-        # --- ray-gen: tent AA + thin-lens DoF (4 draws) ------------------
-        tx, sx, sy = _rng_next(sx, sy)
-        ty, sx, sy = _rng_next(sx, sy)
-        ox = _tent(tx)
-        oy = _tent(ty)
-        ndc_x = ((px_i.astype(f32) + 0.5 + ox) / width) * 2.0 - 1.0
-        ndc_y = ((py_i.astype(f32) + 0.5 + oy) / height) * 2.0 - 1.0
-        ulen = cam_ref[12]
-        vlen = cam_ref[13]
-        rdx = ndc_x * cam_ref[3] * ulen + ndc_y * cam_ref[6] * vlen + cam_ref[9]
-        rdy = ndc_x * cam_ref[4] * ulen + ndc_y * cam_ref[7] * vlen + cam_ref[10]
-        rdz = ndc_x * cam_ref[5] * ulen + ndc_y * cam_ref[8] * vlen + cam_ref[11]
-        rdx, rdy, rdz = _normalize(rdx, rdy, rdz)
-        ra, sx, sy = _rng_next(sx, sy)
-        rr, sx, sy = _rng_next(sx, sy)
-        angle = ra * TWO_PI
-        radius = rr * cam_ref[14]
-        sr = _safe_sqrt(radius)
-        apx = (jnp.cos(angle) * cam_ref[3] + jnp.sin(angle) * cam_ref[6]) * sr
-        apy = (jnp.cos(angle) * cam_ref[4] + jnp.sin(angle) * cam_ref[7]) * sr
-        apz = (jnp.cos(angle) * cam_ref[5] + jnp.sin(angle) * cam_ref[8]) * sr
-        focus = cam_ref[15]
-        rdx, rdy, rdz = _normalize(focus * rdx - apx, focus * rdy - apy, focus * rdz - apz)
-        rox = cam_ref[0] + apx
-        roy = cam_ref[1] + apy
-        roz = cam_ref[2] + apz
+        if not state_in:
+            row0 = pl.program_id(0) * tile_rows
+            col0 = pl.program_id(1) * tile_cols
+            py_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_cols), 0) + row0
+            px_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_cols), 1) + col0
+            px_f = px_i.astype(f32)
+            py_f = py_i.astype(f32)
+            # --- RNG seeds (absolute pixel coords) -----------------------
+            sx = fu * px_i.astype(jnp.uint32)
+            sy = (fu + 1) * py_i.astype(jnp.uint32)
+        else:
+            # lanes are permuted: absolute pixel coords ride the state, and
+            # the fixed schedule lets the stream resume at a pure offset —
+            # draw j uses seed + j, so seed + draws_before(bounce_lo).
+            px_f = st_in_ref[layout.index("px")]
+            py_f = st_in_ref[layout.index("py")]
+            dpb = 2 + (3 if has_quad_light else 0) + (2 if use_lobe else 0)
+            off = 4 + bounce_lo * dpb
+            sx = fu * px_f.astype(jnp.int32).astype(jnp.uint32) + off
+            sy = (fu + 1) * py_f.astype(jnp.int32).astype(jnp.uint32) + off
 
-        # --- per-path state ----------------------------------------------
         zeros = jnp.zeros((tile_rows, tile_cols), f32)
         ones = jnp.ones((tile_rows, tile_cols), f32)
-        acc_r = zeros
-        acc_g = zeros
-        acc_b = zeros
-        m_r = ones
-        m_g = ones
-        m_b = ones
-        alive = ones > 0.0
-        spec = ones > 0.0
-        samp_l = zeros > 1.0
-        coat = zeros > 1.0
-        d_cnt = jnp.zeros((tile_rows, tile_cols), jnp.int32)
-        sharp = zeros
-        obj_nx = zeros
-        obj_ny = zeros
-        obj_nz = zeros
-        obj_cr = zeros
-        obj_cg = zeros
-        obj_cb = zeros
-        obj_id = jnp.full((tile_rows, tile_cols), -INFINITY, f32)
-        prev_metal = zeros > 1.0
-        if env_sky or env_hdri:
-            # only the env miss chains read prev_trans; keeping the carry in
-            # the Cornell-family compile costs real vector ops per bounce
-            prev_trans = zeros > 1.0
+        if not state_in:
+            # --- ray-gen: tent AA + thin-lens DoF (4 draws) --------------
+            tx, sx, sy = _rng_next(sx, sy)
+            ty, sx, sy = _rng_next(sx, sy)
+            ox = _tent(tx)
+            oy = _tent(ty)
+            ndc_x = ((px_i.astype(f32) + 0.5 + ox) / width) * 2.0 - 1.0
+            ndc_y = ((py_i.astype(f32) + 0.5 + oy) / height) * 2.0 - 1.0
+            ulen = cam_ref[12]
+            vlen = cam_ref[13]
+            rdx = ndc_x * cam_ref[3] * ulen + ndc_y * cam_ref[6] * vlen + cam_ref[9]
+            rdy = ndc_x * cam_ref[4] * ulen + ndc_y * cam_ref[7] * vlen + cam_ref[10]
+            rdz = ndc_x * cam_ref[5] * ulen + ndc_y * cam_ref[8] * vlen + cam_ref[11]
+            rdx, rdy, rdz = _normalize(rdx, rdy, rdz)
+            ra, sx, sy = _rng_next(sx, sy)
+            rr, sx, sy = _rng_next(sx, sy)
+            angle = ra * TWO_PI
+            radius = rr * cam_ref[14]
+            sr = _safe_sqrt(radius)
+            apx = (jnp.cos(angle) * cam_ref[3] + jnp.sin(angle) * cam_ref[6]) * sr
+            apy = (jnp.cos(angle) * cam_ref[4] + jnp.sin(angle) * cam_ref[7]) * sr
+            apz = (jnp.cos(angle) * cam_ref[5] + jnp.sin(angle) * cam_ref[8]) * sr
+            focus = cam_ref[15]
+            rdx, rdy, rdz = _normalize(focus * rdx - apx, focus * rdy - apy, focus * rdz - apz)
+            rox = cam_ref[0] + apx
+            roy = cam_ref[1] + apy
+            roz = cam_ref[2] + apz
+
+            # --- per-path state ------------------------------------------
+            acc_r = zeros
+            acc_g = zeros
+            acc_b = zeros
+            m_r = ones
+            m_g = ones
+            m_b = ones
+            alive = ones > 0.0
+            spec = ones > 0.0
+            samp_l = zeros > 1.0
+            coat = zeros > 1.0
+            d_cnt = jnp.zeros((tile_rows, tile_cols), jnp.int32)
+            sharp = zeros
+            obj_nx = zeros
+            obj_ny = zeros
+            obj_nz = zeros
+            obj_cr = zeros
+            obj_cg = zeros
+            obj_cb = zeros
+            obj_id = jnp.full((tile_rows, tile_cols), -INFINITY, f32)
+            prev_metal = zeros > 1.0
+            if env_sky or env_hdri:
+                # only the env miss chains read prev_trans; keeping the
+                # carry in the Cornell-family compile costs real vector ops
+                # per bounce
+                prev_trans = zeros > 1.0
+        else:
+            # --- resume per-path state from the (permuted) plane stack ---
+            def L(name):
+                return st_in_ref[layout.index(name)]
+
+            rox, roy, roz = L("rox"), L("roy"), L("roz")
+            rdx, rdy, rdz = L("rdx"), L("rdy"), L("rdz")
+            m_r, m_g, m_b = L("m_r"), L("m_g"), L("m_b")
+            acc_r, acc_g, acc_b = L("acc_r"), L("acc_g"), L("acc_b")
+            alive = L("alive") > 0.5
+            spec = L("spec") > 0.5
+            samp_l = L("samp_l") > 0.5
+            coat = L("coat") > 0.5
+            d_cnt = L("d_cnt").astype(jnp.int32)
+            sharp = L("sharp")
+            prev_metal = L("prev_metal") > 0.5
+            obj_nx, obj_ny, obj_nz = L("obj_nx"), L("obj_ny"), L("obj_nz")
+            obj_cr, obj_cg, obj_cb = L("obj_cr"), L("obj_cg"), L("obj_cb")
+            obj_id = L("obj_id")
+            if env_sky or env_hdri:
+                prev_trans = L("prev_trans") > 0.5
 
         if has_quad_light:
             lv0x = quads_ref[light_i, 3]
@@ -874,20 +1041,34 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
 
         if env_hdri:
             # deferred-env records: weight + direction at the (single) miss
-            mw_r = zeros
-            mw_g = zeros
-            mw_b = zeros
-            md_x = zeros
-            md_y = zeros
-            md_z = zeros
+            if state_in:
+                mw_r, mw_g, mw_b = L("mw_r"), L("mw_g"), L("mw_b")
+                md_x, md_y, md_z = L("md_x"), L("md_y"), L("md_z")
+            else:
+                mw_r = zeros
+                mw_g = zeros
+                mw_b = zeros
+                md_x = zeros
+                md_y = zeros
+                md_z = zeros
 
         if mesh_textured:
-            alb_records = []  # per bounce: (u-or-minus-one, v)
-            em_w_r = zeros
-            em_w_g = zeros
-            em_w_b = zeros
-            em_u = zeros
-            em_v = zeros
+            # alb_uv[b]: this bounce's deferred albedo-factor record
+            # (u-or-minus-one, v); non-executed bounces keep the sentinel /
+            # pass through the incoming state
+            if state_in:
+                em_w_r, em_w_g, em_w_b = L("em_r"), L("em_g"), L("em_b")
+                em_u, em_v = L("em_u"), L("em_v")
+                alb_uv = {
+                    b: (L(f"alb_u{b}"), L(f"alb_v{b}")) for b in range(cfg.bounces)
+                }
+            else:
+                em_w_r = zeros
+                em_w_g = zeros
+                em_w_b = zeros
+                em_u = zeros
+                em_v = zeros
+                alb_uv = {b: (zeros - 1.0, zeros) for b in range(cfg.bounces)}
 
         # path-replay ∂log-throughput accumulators.  One plane per OBJECT
         # (not per object-channel): every linear throughput factor equals
@@ -901,7 +1082,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             else None
         )
 
-        for bounce in range(cfg.bounces):
+        for bounce in range(bounce_lo, bounce_hi):
             # ---- scene intersect: all quads + spheres, keep nearest -----
             t_best = jnp.full((tile_rows, tile_cols), INFINITY, f32)
             nx = zeros
@@ -1091,12 +1272,15 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                 # sub_rows == 8 → per-(8, cols) sub-packets whose unions stay
                 # tight under secondary-bounce divergence (measured ~2× on
                 # DamagedHelmet-class meshes, worth the repeated fetches).
+                stream = (
+                    (stream_scratch, stream_sem) if mesh_stream else None
+                )
                 if sub_rows >= tile_rows:
                     walk = _mesh_walk(
                         (mro_x, mro_y, mro_z), (mrd_x, mrd_y, mrd_z),
                         cull_m, mnodes_f_ref, mtris_ref,
                         n_nodes_p, t_best, active=(alive if bounce else None),
-                        textured=mesh_textured,
+                        textured=mesh_textured, stream=stream,
                     )
                 else:
                     parts = []
@@ -1108,7 +1292,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                             cull_m, mnodes_f_ref, mtris_ref,
                             n_nodes_p, t_best[sl],
                             active=(alive[sl] if bounce else None),
-                            textured=mesh_textured,
+                            textured=mesh_textured, stream=stream,
                         )
                         parts.append(walk_s)
                     walk = tuple(
@@ -1206,7 +1390,13 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                     c3 = samp_l
                     c4 = (d_cnt == 1) & prev_trans & spec if bounce < 3 else None
                     c5 = d_cnt > 0
-                    sun_clip = jnp.where(cos_vs < 0.99, 1.0, 0.0)
+                    if env_nee:
+                        # env NEE covers the whole map at every diffuse
+                        # vertex — BSDF-sampled env hits after a diffuse
+                        # bounce would double count (radiance.py:166-172)
+                        sun_clip = zeros
+                    else:
+                        sun_clip = jnp.where(cos_vs < 0.99, 1.0, 0.0)
                     full = (c2 | c3 | c4) if c4 is not None else (c2 | c3)
                     env_w = jnp.where(full, 1.0, jnp.where(c5, sun_clip, 0.0))
                     mw_r = jnp.where(m_env, m_r * env_w, mw_r)
@@ -1322,13 +1512,27 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                     0.0, -(dlx * lnx + dly * lny + dlz * lnz)
                 ) * dot_nl
                 lw = jnp.clip(lw, 0.0, 1.0)
-            # lobe draws shared by sun NEE and the PBR metal lobe, exactly
-            # as the wavefront's single use_lobe draw site (radiance.py)
-            use_lobe = (cfg.nee == "sun") or cfg.metal_roughness_lobe
+            # lobe draws shared by sun/env NEE and the PBR metal lobe,
+            # exactly as the wavefront's single use_lobe draw site
+            # (radiance.py) — with nee == "env" the pair is still consumed
+            # in-kernel (stream parity + the metal lobe), while the env
+            # sample they seed was computed host-side from the SAME draws.
+            # (`use_lobe` is hoisted to _make_kernel scope: the staged-mode
+            # RNG offset needs it before the loop.)
             if use_lobe:
                 lc_, sx, sy = _rng_next(sx, sy)
                 lp_, sx, sy = _rng_next(sx, sy)
-            if not has_quad_light:
+            if env_nee:
+                # precomputed inverse-CDF sample planes for this bounce
+                dlx = bn_ref[4 + 4 * bounce + 0]
+                dly = bn_ref[4 + 4 * bounce + 1]
+                dlz = bn_ref[4 + 4 * bounce + 2]
+                # Lambertian weight cos/(pi*pdf) (radiance.py:283-284)
+                lw = (
+                    jnp.maximum(0.0, _dot(dlx, dly, dlz, nlx, nly, nlz))
+                    * bn_ref[4 + 4 * bounce + 3]
+                )
+            elif not has_quad_light:
                 # sun NEE: specular lobe about uSunDirection, roughness 0.1,
                 # weight cosθ·0.05 (PhysicalSkyModel_FragmentShader.js:250-256)
                 import math as _math
@@ -1498,8 +1702,8 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                 # by hit_color on a textured-mesh hit (DIFFUSE, METAL,
                 # CLEARCOAT base) — composed outside as Π albedo(uv_b)^flag
                 alb_f = pbr_hit & (b_diff | b_metal | (b_coat & ~go_refl_c))
-                alb_records.append(
-                    (jnp.where(alb_f, m_u, -1.0), jnp.where(alb_f, m_v, 0.0))
+                alb_uv[bounce] = (
+                    jnp.where(alb_f, m_u, -1.0), jnp.where(alb_f, m_v, 0.0)
                 )
 
             # ---- merge --------------------------------------------------
@@ -1560,6 +1764,36 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                     if not cfg.transparent_tint:
                         sgb[j] = sgb[j] + jnp.where(mj, beer_f, 0.0)
 
+        if staged:
+            def bf(b):
+                return jnp.where(b, ones, zeros)
+
+            vals = {
+                "rox": rox, "roy": roy, "roz": roz,
+                "rdx": rdx, "rdy": rdy, "rdz": rdz,
+                "m_r": m_r, "m_g": m_g, "m_b": m_b,
+                "acc_r": acc_r, "acc_g": acc_g, "acc_b": acc_b,
+                "alive": bf(alive), "spec": bf(spec), "samp_l": bf(samp_l),
+                "coat": bf(coat), "d_cnt": d_cnt.astype(f32), "sharp": sharp,
+                "prev_metal": bf(prev_metal), "px": px_f, "py": py_f,
+                "obj_nx": obj_nx, "obj_ny": obj_ny, "obj_nz": obj_nz,
+                "obj_cr": obj_cr, "obj_cg": obj_cg, "obj_cb": obj_cb,
+                "obj_id": obj_id,
+            }
+            if env_sky or env_hdri:
+                vals["prev_trans"] = bf(prev_trans)
+            if env_hdri:
+                vals.update(mw_r=mw_r, mw_g=mw_g, mw_b=mw_b,
+                            md_x=md_x, md_y=md_y, md_z=md_z)
+            if mesh_textured:
+                vals.update(em_r=em_w_r, em_g=em_w_g, em_b=em_w_b,
+                            em_u=em_u, em_v=em_v)
+                for b in range(cfg.bounces):
+                    vals[f"alb_u{b}"], vals[f"alb_v{b}"] = alb_uv[b]
+            for k, name in enumerate(layout):
+                st_out_ref[k] = vals[name]
+            return
+
         col_r[:] = jnp.maximum(acc_r, 0.0)
         col_g[:] = jnp.maximum(acc_g, 0.0)
         col_b[:] = jnp.maximum(acc_b, 0.0)
@@ -1579,7 +1813,8 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             md_y_o[:] = md_y
             md_z_o[:] = md_z
         if mesh_textured:
-            for b, (au, av) in enumerate(alb_records):
+            for b in range(cfg.bounces):
+                au, av = alb_uv[b]
                 alb_uv_o[2 * b][:] = au
                 alb_uv_o[2 * b + 1][:] = av
             em_r_o[:] = em_w_r
@@ -1708,6 +1943,44 @@ def _blue_noise_planes(blue_noise, height, width, rand_vec2):
     return jnp.moveaxis(tiled, -1, 0)
 
 
+def _env_nee_planes(scene, cfg, frame_counter, height, width):
+    """Precomputed env importance-sampling draws for the fused kernel.
+
+    The fixed RNG schedule makes the per-bounce lobe pair (lc, lp) a pure
+    function of (pixel, frame): draw j of iq's hash uses state
+    (frame*px + j, (frame+1)*py + j).  For the HDRI family (no quad light,
+    use_lobe on) the pair sits at draws 4 + 4b + {3, 4} — 4 ray-gen draws,
+    then hem 2 + lobe 2 per bounce.  Replaying those draws host-side and
+    pushing them through `sample_env_cdf` gives the EXACT sample the
+    wavefront integrator (radiance.py:267-284) takes in-loop, so fused and
+    wavefront keep float-level parity; the kernel consumes the same lc/lp
+    draws for stream position and reads the resulting direction/pdf from
+    these planes (Mosaic has no per-lane gather for the CDF search).
+
+    Returns (4 * bounces, H, W): per bounce [dir.x, dir.y, dir.z,
+    1/(pi*max(pdf, 1e-8))].
+    """
+    from bpt_tpu.core.rng import RngState, rng_next
+    from bpt_tpu.env import EnvCDF, sample_env_cdf
+
+    fu = jnp.asarray(frame_counter, jnp.float32).astype(jnp.int32).astype(jnp.uint32)
+    px = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1)
+    py = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0)
+    sx0 = fu * px
+    sy0 = (fu + jnp.uint32(1)) * py
+    cdf = EnvCDF(*scene.env.env_cdf)
+    planes = []
+    for b in range(cfg.bounces):
+        j = jnp.uint32(4 + 4 * b + 2)  # draws consumed before lc
+        st = RngState(sx0 + j, sy0 + j)
+        lc, st = rng_next(st)
+        lp, _ = rng_next(st)
+        d, pdf = sample_env_cdf(cdf, lc, lp)
+        wb = 1.0 / (jnp.pi * jnp.maximum(pdf, 1e-8))
+        planes.extend([d[..., 0], d[..., 1], d[..., 2], wb])
+    return jax.lax.stop_gradient(jnp.stack(planes))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "tile_cols", "interpret", "param_grads", "fast_quads", "mesh_textured", "sub_rows"))
 def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False, param_grads=False, fast_quads=False, mesh_textured=False, sub_rows=0):
     quads, sph, qdr, mesh = packs
@@ -1765,8 +2038,11 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
             pl.BlockSpec(tris_d.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ])
     inputs.append(bn_planes)
+    # 4 blue-noise planes, + 4 env-NEE sample planes per bounce when
+    # cfg.nee == "env" (see _make_kernel)
     in_specs.append(
-        pl.BlockSpec((4, tile_rows, tile_cols), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+        pl.BlockSpec((bn_planes.shape[0], tile_rows, tile_cols),
+                     lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
     )
     grid_spec = pl.GridSpec(grid=grid, in_specs=in_specs, out_specs=out_specs)
     return pl.pallas_call(
@@ -1775,6 +2051,182 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
         out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
+
+
+# ---------------------------------------------------------------------------
+# staged (sorted-wavefront) mode: per-bounce-range phases + ray reordering
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "height", "width", "tile_rows", "tile_cols", "interpret",
+    "fast_quads", "mesh_textured", "sub_rows", "bounce_lo", "bounce_hi",
+    "mesh_stream"))
+def _pallas_forward_staged(packs, cam, scalars, bn_planes, state, cfg, height,
+                           width, tile_rows, tile_cols, interpret=False,
+                           fast_quads=False, mesh_textured=False, sub_rows=0,
+                           bounce_lo=0, bounce_hi=None, mesh_stream=False):
+    """One staged phase: bounces [bounce_lo, bounce_hi) with per-lane state
+    riding an (S, H, W) plane stack (None for the ray-gen phase).  Returns
+    the updated state stack.  With ``mesh_stream`` the triangle table stays
+    in HBM and leaves are double-buffer-DMA'd (reference-capacity meshes on
+    the fused path)."""
+    quads, sph, qdr, mesh = packs
+    n_quads = quads.shape[0]
+    n_spheres = sph.shape[0] if sph is not None else 0
+    n_quadrics = qdr.shape[0] if qdr is not None else 0
+    has_mesh = mesh is not None
+    n_nodes_p = mesh[1].shape[0] if has_mesh else 0
+    layout = _state_layout(cfg, mesh_textured)
+    S = len(layout)
+    kernel = _make_kernel(
+        cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width,
+        height, False, has_mesh=has_mesh, n_nodes_p=n_nodes_p,
+        fast_quads=fast_quads, mesh_textured=mesh_textured, sub_rows=sub_rows,
+        bounce_lo=bounce_lo, bounce_hi=bounce_hi, staged=True,
+        mesh_stream=mesh_stream,
+    )
+    grid = (height // tile_rows, width // tile_cols)
+    out_shape = [jax.ShapeDtypeStruct((S, height, width), jnp.float32)]
+    out_specs = [pl.BlockSpec((S, tile_rows, tile_cols), lambda i, j: (0, i, j),
+                              memory_space=pltpu.VMEM)]
+    inputs = [cam, scalars, quads]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [smem, smem, smem]
+    if n_spheres:
+        inputs.append(sph)
+        in_specs.append(smem)
+    if n_quadrics:
+        inputs.append(qdr)
+        in_specs.append(smem)
+    if has_mesh:
+        mesh_s, nodes_f, tris_d = mesh
+        inputs.extend([mesh_s, nodes_f, tris_d])
+        in_specs.extend([
+            smem,
+            pl.BlockSpec(nodes_f.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY) if mesh_stream else
+            pl.BlockSpec(tris_d.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ])
+    inputs.append(bn_planes)
+    in_specs.append(
+        pl.BlockSpec((bn_planes.shape[0], tile_rows, tile_cols),
+                     lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+    )
+    if state is not None:
+        inputs.append(state)
+        in_specs.append(
+            pl.BlockSpec((S, tile_rows, tile_cols), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
+        )
+    scratch_shapes = []
+    if mesh_stream:
+        scratch_shapes = [
+            pltpu.VMEM((2, 16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    grid_spec = pl.GridSpec(grid=grid, in_specs=in_specs, out_specs=out_specs)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(*inputs)
+    return out
+
+
+def _sort_key(state, layout):
+    """Per-lane reorder key: dead lanes last (compaction), then 4-bit/axis
+    Morton code of the next ray origin (hit-surface locality), then the ray
+    direction octant — so each (sub_rows, cols) packet's BVH subtree union
+    stays tight under secondary-bounce divergence.  The fixed-schedule RNG
+    is keyed by absolute pixel id (carried in the state), so reordering
+    cannot perturb any draw."""
+
+    def P(name):
+        return state[layout.index(name)]
+
+    alive = P("alive") > 0.5
+    big = jnp.float32(1e9)
+    ro = [P("rox"), P("roy"), P("roz")]
+    rd = [P("rdx"), P("rdy"), P("rdz")]
+    qs = []
+    for v in ro:
+        lo = jnp.min(jnp.where(alive, v, big))
+        hi = jnp.max(jnp.where(alive, v, -big))
+        qs.append(jnp.clip(
+            (v - lo) / jnp.maximum(hi - lo, 1e-6) * 16.0, 0.0, 15.0
+        ).astype(jnp.int32))
+
+    def spread(x):  # 4-bit Morton spread: bit k -> bit 3k
+        return (
+            (x & 1)
+            | (((x >> 1) & 1) << 3)
+            | (((x >> 2) & 1) << 6)
+            | (((x >> 3) & 1) << 9)
+        )
+
+    morton = (spread(qs[0]) << 2) | (spread(qs[1]) << 1) | spread(qs[2])
+    octant = (
+        ((rd[0] > 0).astype(jnp.int32) << 2)
+        | ((rd[1] > 0).astype(jnp.int32) << 1)
+        | (rd[2] > 0).astype(jnp.int32)
+    )
+    return jnp.where(alive, (morton << 3) | octant, jnp.int32(1) << 30)
+
+
+def _trace_staged(packs, cam, scalars, bn_planes, cfg, height, width,
+                  tile_rows, tile_cols, interpret, fast_quads, mesh_textured,
+                  sub_rows, splits, mesh_stream):
+    """Staged driver: run phase 0 in image order, then for each later phase
+    sort the live wavefront (argsort + one row gather over the bundled
+    state+draw planes — sub-ms on a v5 chip), run the phase on the permuted
+    lanes, and finally scatter the state back to image order.  Returns the
+    monolithic kernel's `outs` tuple so trace_image_pallas's composition
+    tail (deferred equirect / PBR texel fetches) is shared verbatim."""
+    layout = _state_layout(cfg, mesh_textured)
+    S = len(layout)
+    N = height * width
+    kw = dict(cfg=cfg, height=height, width=width, tile_rows=tile_rows,
+              tile_cols=tile_cols, interpret=interpret, fast_quads=fast_quads,
+              mesh_textured=mesh_textured, sub_rows=sub_rows,
+              mesh_stream=mesh_stream)
+    bounds = [0] + list(splits) + [cfg.bounces]
+    state = _pallas_forward_staged(packs, cam, scalars, bn_planes, None,
+                                   bounce_lo=0, bounce_hi=bounds[1], **kw)
+    perm_total = jnp.arange(N, dtype=jnp.int32)
+    nb = bn_planes
+    nb_c = bn_planes.shape[0]
+    for lo, hi in zip(bounds[1:-1], bounds[2:]):
+        key = _sort_key(state, layout).reshape(N)
+        perm = jnp.argsort(key)
+        bundle = jnp.concatenate([state, nb], axis=0).reshape(S + nb_c, N).T
+        bundle = jnp.take(bundle, perm, axis=0).T
+        state = bundle[:S].reshape(S, height, width)
+        nb = bundle[S:].reshape(nb_c, height, width)
+        perm_total = jnp.take(perm_total, perm)
+        state = _pallas_forward_staged(packs, cam, scalars, nb, state,
+                                       bounce_lo=lo, bounce_hi=hi, **kw)
+    # scatter the final state back to image order (one row scatter)
+    rows = state.reshape(S, N).T
+    rows = jnp.zeros_like(rows).at[perm_total].set(rows)
+    state = rows.T.reshape(S, height, width)
+
+    def P(name):
+        return state[layout.index(name)]
+
+    outs = [jnp.maximum(P("acc_r"), 0.0), jnp.maximum(P("acc_g"), 0.0),
+            jnp.maximum(P("acc_b"), 0.0),
+            P("obj_nx"), P("obj_ny"), P("obj_nz"),
+            P("obj_cr"), P("obj_cg"), P("obj_cb"), P("obj_id"), P("sharp")]
+    if cfg.env == "hdri":
+        outs += [P("mw_r"), P("mw_g"), P("mw_b"),
+                 P("md_x"), P("md_y"), P("md_z")]
+    if mesh_textured:
+        for b in range(cfg.bounces):
+            outs += [P(f"alb_u{b}"), P(f"alb_v{b}")]
+        outs += [P("em_r"), P("em_g"), P("em_b"), P("em_u"), P("em_v")]
+    return tuple(outs)
 
 
 # ---------------------------------------------------------------------------
@@ -1809,6 +2261,8 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
     env_hdri = cfg.env == "hdri"
     # index of the emissive-terminal throughput planes among the outputs
     em_idx = (17 if env_hdri else 11) + 2 * cfg.bounces if mesh_textured else None
+    # blue-noise planes + precomputed env-NEE sample planes (nee == "env")
+    n_draw = 4 + (4 * cfg.bounces if cfg.nee == "env" else 0)
 
     @jax.custom_vjp
     def f(packs, cam, scalars, bn_planes):
@@ -1869,7 +2323,7 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
         gs = zs.at[:, 16:19].set(gcol[:n_s]) if zs is not None else None
         gqd = zqd.at[:, 16:19].set(gcol[n_s:n_s + n_qd]) if zqd is not None else None
         return ((gq, gs, gqd, _zmesh), jnp.zeros(16, jnp.float32),
-                jnp.zeros(10, jnp.float32), jnp.zeros((4, height, width), jnp.float32))
+                jnp.zeros(10, jnp.float32), jnp.zeros((n_draw, height, width), jnp.float32))
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -1890,6 +2344,8 @@ def trace_image_pallas(
     differentiable: bool = False,
     mesh_sub_rows: int | None = None,
     fast_quads: bool | None = None,
+    reorder: bool = False,
+    reorder_splits: tuple | None = None,
 ):
     """Pallas forward of the Cornell-, quadric-, sky-, glTF- and HDRI-family
     radiance pass.
@@ -1901,9 +2357,12 @@ def trace_image_pallas(
     packet traversal), with env 'none' + quad NEE (Cornell /
     Transformed_Quadric_Geometry / GLTF_Model demos), env 'sky' + sun NEE
     (Physical_Sky_Model: Preetham miss shading with the 5-case chain), or
-    env 'hdri' + sun NEE (HDRI_Environment: the kernel defers the equirect
-    fetch by emitting miss-weight/direction planes — a path misses at most
-    once — and this wrapper composes ``color += miss_w * Get_HDR_Color``).
+    env 'hdri' + sun NEE or env-CDF NEE (HDRI_Environment: the kernel defers
+    the equirect fetch by emitting miss-weight/direction planes — a path
+    misses at most once — and this wrapper composes
+    ``color += miss_w * Get_HDR_Color``; for nee='env' the inverse-CDF
+    samples are precomputed host-side from the same fixed-schedule draws,
+    see ``_env_nee_planes``).
 
     With ``differentiable=True`` the call carries the fused path-replay
     custom_vjp: gradients flow to quad/sphere/quadric material colors (incl.
@@ -1921,10 +2380,12 @@ def trace_image_pallas(
     from bpt_tpu.integrator.radiance import RadianceResult
 
     assert cfg.env in ("none", "sky", "hdri")
-    assert cfg.nee in ("quad", "sun"), (
-        "nee='env' (CDF importance sampling) is wavefront-only: the "
-        "per-lane inverse-CDF search has no in-kernel gather path")
+    assert cfg.nee in ("quad", "sun", "env")
     assert (cfg.env == "none") == (cfg.nee == "quad")
+    if cfg.nee == "env":
+        assert cfg.env == "hdri" and scene.env is not None and scene.env.env_cdf is not None, (
+            "nee='env' needs an HDRI environment with a built env_cdf "
+            "(bpt_tpu.env.build_env_cdf; hdri_scene does this)")
     if cfg.metal_roughness_lobe:
         assert scene.mesh is not None and scene.mesh.albedo is not None, (
             "metal_roughness_lobe needs a textured mesh (per-lane roughness)"
@@ -1968,6 +2429,10 @@ def trace_image_pallas(
         ]
     )
     bn_planes = _blue_noise_planes(jnp.asarray(blue_noise), height, width, jnp.asarray(rand_vec2))
+    if cfg.nee == "env":
+        bn_planes = jnp.concatenate(
+            [bn_planes, _env_nee_planes(scene, cfg, frame_counter, height, width)], axis=0
+        )
     tile_rows = min(tile_rows, height)
     tile_cols = min(tile_cols, width)
     if fast_quads is None:
@@ -1985,7 +2450,27 @@ def trace_image_pallas(
             sub_rows = 8
     if mesh_sub_rows is not None:
         sub_rows = mesh_sub_rows
-    if differentiable:
+    if reorder:
+        # staged sorted-wavefront mode: split the bounce loop into phases and
+        # reorder rays between them (Morton-of-origin + direction octant +
+        # dead-lane compaction).  Meshes whose dense pack exceeds the VMEM
+        # budget automatically switch to HBM leaf streaming, so reference-
+        # capacity scenes stay on the fused path.
+        assert not differentiable, (
+            "reorder=True has no path-replay VJP yet — use the monolithic "
+            "fused path (differentiable=True) or the wavefront integrator")
+        splits = (tuple(reorder_splits) if reorder_splits is not None
+                  else tuple(range(1, cfg.bounces)))
+        mesh_stream = False
+        if scene.mesh is not None:
+            mesh_bytes = (packs[3][1].size + packs[3][2].size) * 4
+            mesh_stream = mesh_bytes > 12 * 1024 * 1024
+        outs = _trace_staged(
+            packs, cam, scalars, bn_planes, cfg, height, width, tile_rows,
+            tile_cols, interpret, fast_quads, mesh_textured, sub_rows,
+            splits, mesh_stream,
+        )
+    elif differentiable:
         f = _prb_fn(cfg, height, width, tile_rows, tile_cols, interpret,
                     fast_quads, mesh_textured, sub_rows)
         outs = f(packs, cam, scalars, bn_planes)

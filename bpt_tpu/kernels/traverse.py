@@ -205,6 +205,16 @@ _HBM_LEAF_ROWS = 16  # scratch rows per leaf DMA (leaf_size <= 4 * this)
 
 
 def _make_hbm_kernel(n_nodes_padded: int):
+    """Double-buffered leaf streaming: encountering a leaf STARTS its DMA
+    into the alternate scratch slot and then processes the PREVIOUS pending
+    leaf — whose copy has had all the intervening node-step iterations (and
+    this leaf's DMA issue) to complete — so the VPU no longer idles for a
+    full HBM round trip per leaf (round-3 weakness #2).  Deferring a leaf's
+    triangle test is sound: t_best is a pure min-reduction (order-
+    independent), deferral only weakens pruning to a superset of visits, and
+    leaves are still processed in discovery (preorder) order so strict-<
+    tie-breaking is unchanged."""
+
     def kernel(cull_ref, rays_ref, nodes_f_ref, tris_hbm, fout_ref, iout_ref,
                scratch, sem):
         rox, roy, roz = rays_ref[0], rays_ref[1], rays_ref[2]
@@ -220,11 +230,65 @@ def _make_hbm_kernel(n_nodes_padded: int):
         tri0 = jnp.full(shape, -1, jnp.int32)
         z = jnp.zeros(shape, jnp.float32)
 
+        def leaf_dma(row0, slot):
+            return pltpu.make_async_copy(
+                tris_hbm.at[pl.ds(row0, _HBM_LEAF_ROWS), :],
+                scratch.at[slot], sem.at[slot],
+            )
+
+        def process_leaf(row0, nrows, slot, c3):
+            """MT-test the pending leaf's rows from scratch[slot] (already
+            waited)."""
+
+            def row_body(k, c4):
+                t_best, tri_b, nx, ny, nz, us, vs = c4
+                row = scratch[slot, pl.ds(k, 1), :]  # (1, 128): 4 records
+                for j in range(4):
+                    o = 32 * j
+                    p0x, p0y, p0z = row[0, o + 0], row[0, o + 1], row[0, o + 2]
+                    e1x = row[0, o + 3] - p0x
+                    e1y = row[0, o + 4] - p0y
+                    e1z = row[0, o + 5] - p0z
+                    e2x = row[0, o + 6] - p0x
+                    e2y = row[0, o + 7] - p0y
+                    e2z = row[0, o + 8] - p0z
+                    pvx = rdy * e2z - rdz * e2y
+                    pvy = rdz * e2x - rdx * e2z
+                    pvz = rdx * e2y - rdy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv_det = _safe_inv(det)
+                    tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0) | (t <= 0.0)
+                    miss = miss | (cull & (det < 0.0))
+                    closer = jnp.logical_not(miss) & (t < t_best)
+                    w = 1.0 - u - v
+                    inx = w * row[0, o + 9] + u * row[0, o + 12] + v * row[0, o + 15]
+                    iny = w * row[0, o + 10] + u * row[0, o + 13] + v * row[0, o + 16]
+                    inz = w * row[0, o + 11] + u * row[0, o + 14] + v * row[0, o + 17]
+                    iu = w * row[0, o + 18] + u * row[0, o + 20] + v * row[0, o + 22]
+                    iv = w * row[0, o + 19] + u * row[0, o + 21] + v * row[0, o + 23]
+                    t_best = jnp.where(closer, t, t_best)
+                    tri_b = jnp.where(closer, (row0 + k) * 4 + j, tri_b)
+                    nx = jnp.where(closer, inx, nx)
+                    ny = jnp.where(closer, iny, ny)
+                    nz = jnp.where(closer, inz, nz)
+                    us = jnp.where(closer, iu, us)
+                    vs = jnp.where(closer, iv, vs)
+                return (t_best, tri_b, nx, ny, nz, us, vs)
+
+            return jax.lax.fori_loop(0, nrows, row_body, c3)
+
         def cond(c):
             return c[0] < n_nodes_padded
 
         def body(c):
-            i, t_best, tri_b, nx, ny, nz, us, vs = c
+            i, pr0, pnr, slot, t_best, tri_b, nx, ny, nz, us, vs = c
             nf = nodes_f_ref[pl.ds(i, 1), :]  # (1, 16): min max esc row0 nrows
             tx0 = (nf[0, 0] - rox) * invx
             tx1 = (nf[0, 3] - rox) * invx
@@ -247,71 +311,45 @@ def _make_hbm_kernel(n_nodes_padded: int):
             row0 = nf[0, 7].astype(jnp.int32)
             nrows = nf[0, 8].astype(jnp.int32)
             is_leaf = nrows > 0
+            take_leaf = any_hit & is_leaf
 
             def leaf_fn(c2):
-                # stream this leaf's rows from HBM (fixed-size DMA; the
-                # table is over-padded by _HBM_LEAF_ROWS rows so the copy
-                # may read past the leaf but never past the array)
-                dma = pltpu.make_async_copy(
-                    tris_hbm.at[pl.ds(row0, _HBM_LEAF_ROWS), :],
-                    scratch, sem,
-                )
-                dma.start()
-                dma.wait()
+                # 1. kick off THIS leaf's copy into the free slot
+                leaf_dma(row0, 1 - slot).start()
 
-                def row_body(k, c3):
-                    t_best, tri_b, nx, ny, nz, us, vs = c3
-                    row = scratch[pl.ds(k, 1), :]  # (1, 128): 4 records
-                    for j in range(4):
-                        o = 32 * j
-                        p0x, p0y, p0z = row[0, o + 0], row[0, o + 1], row[0, o + 2]
-                        e1x = row[0, o + 3] - p0x
-                        e1y = row[0, o + 4] - p0y
-                        e1z = row[0, o + 5] - p0z
-                        e2x = row[0, o + 6] - p0x
-                        e2y = row[0, o + 7] - p0y
-                        e2z = row[0, o + 8] - p0z
-                        pvx = rdy * e2z - rdz * e2y
-                        pvy = rdz * e2x - rdx * e2z
-                        pvz = rdx * e2y - rdy * e2x
-                        det = e1x * pvx + e1y * pvy + e1z * pvz
-                        inv_det = _safe_inv(det)
-                        tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
-                        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                        qvx = tvy * e1z - tvz * e1y
-                        qvy = tvz * e1x - tvx * e1z
-                        qvz = tvx * e1y - tvy * e1x
-                        v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
-                        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                        miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0) | (t <= 0.0)
-                        miss = miss | (cull & (det < 0.0))
-                        closer = jnp.logical_not(miss) & (t < t_best)
-                        w = 1.0 - u - v
-                        inx = w * row[0, o + 9] + u * row[0, o + 12] + v * row[0, o + 15]
-                        iny = w * row[0, o + 10] + u * row[0, o + 13] + v * row[0, o + 16]
-                        inz = w * row[0, o + 11] + u * row[0, o + 14] + v * row[0, o + 17]
-                        iu = w * row[0, o + 18] + u * row[0, o + 20] + v * row[0, o + 22]
-                        iv = w * row[0, o + 19] + u * row[0, o + 21] + v * row[0, o + 23]
-                        t_best = jnp.where(closer, t, t_best)
-                        tri_b = jnp.where(closer, (row0 + k) * 4 + j, tri_b)
-                        nx = jnp.where(closer, inx, nx)
-                        ny = jnp.where(closer, iny, ny)
-                        nz = jnp.where(closer, inz, nz)
-                        us = jnp.where(closer, iu, us)
-                        vs = jnp.where(closer, iv, vs)
-                    return (t_best, tri_b, nx, ny, nz, us, vs)
+                # 2. drain the pending leaf from the other slot (its DMA has
+                #    been in flight since it was discovered)
+                def drain(c3):
+                    leaf_dma(pr0, slot).wait()
+                    return process_leaf(pr0, pnr, slot, c3)
 
-                return jax.lax.fori_loop(0, nrows, row_body, c2)
+                return jax.lax.cond(pnr > 0, drain, lambda c3: c3, c2)
 
             leaf_state = (t_best, tri_b, nx, ny, nz, us, vs)
             t_best, tri_b, nx, ny, nz, us, vs = jax.lax.cond(
-                any_hit & is_leaf, leaf_fn, lambda c2: c2, leaf_state
+                take_leaf, leaf_fn, lambda c2: c2, leaf_state
             )
+            pr0 = jnp.where(take_leaf, row0, pr0)
+            pnr = jnp.where(take_leaf, nrows, pnr)
+            slot = jnp.where(take_leaf, 1 - slot, slot)
             next_i = jnp.where(any_hit & jnp.logical_not(is_leaf), i + 1, esc)
-            return (next_i, t_best, tri_b, nx, ny, nz, us, vs)
+            return (next_i, pr0, pnr, slot, t_best, tri_b, nx, ny, nz, us, vs)
 
-        carry = (jnp.int32(0), t0, tri0, z, z, z, z, z)
-        _, t_best, tri_b, nx, ny, nz, us, vs = jax.lax.while_loop(cond, body, carry)
+        carry = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1),
+                 t0, tri0, z, z, z, z, z)
+        _, pr0, pnr, slot, t_best, tri_b, nx, ny, nz, us, vs = (
+            jax.lax.while_loop(cond, body, carry)
+        )
+
+        # drain the last pending leaf
+        def final_drain(c3):
+            leaf_dma(pr0, slot).wait()
+            return process_leaf(pr0, pnr, slot, c3)
+
+        t_best, tri_b, nx, ny, nz, us, vs = jax.lax.cond(
+            pnr > 0, final_drain, lambda c3: c3,
+            (t_best, tri_b, nx, ny, nz, us, vs),
+        )
 
         fout_ref[0] = t_best
         fout_ref[1] = nx
@@ -336,7 +374,7 @@ def _traverse_call_hbm(rays, cull, nodes_f, tris, n_nodes_padded, interpret):
         pl.BlockSpec(memory_space=pltpu.SMEM),  # cull (1,1) i32
         pl.BlockSpec((7, 8, 128), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((np_, 16), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),   # tris stay in HBM
+        pl.BlockSpec(memory_space=pl.ANY),   # tris stay in HBM
     ]
     out_specs = [
         pl.BlockSpec((6, 8, 128), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
@@ -352,8 +390,8 @@ def _traverse_call_hbm(rays, cull, nodes_f, tris, n_nodes_padded, interpret):
             jax.ShapeDtypeStruct((rays.shape[1], 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_HBM_LEAF_ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, _HBM_LEAF_ROWS, 128), jnp.float32),  # double-buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(cull, rays, nodes_f, tris)

@@ -194,6 +194,31 @@ def test_megakernel_hdri_parity():
     assert q95 < 1e-3, q95
 
 
+def test_megakernel_hdri_env_nee_parity():
+    """nee='env' (HDRI CDF importance sampling) on the FUSED path: the
+    per-bounce inverse-CDF draws are precomputed outside the kernel from the
+    same fixed-schedule RNG positions (megakernel._env_nee_planes), so fused
+    and wavefront consume the identical env samples."""
+    from apps.hdri_environment import synthetic_hdr
+    from bpt_tpu.scenes.gltf_scene import hdri_camera, hdri_scene
+
+    scene = hdri_scene(_synthetic_mesh(mat_type=1), synthetic_hdr(32, 64),
+                       sun_power=4.0)
+    cfg = IntegratorConfig(bounces=3, env="hdri", nee="env",
+                           diffuse_indirect_max=2)
+    cam = hdri_camera()
+    h, w = 32, 128
+    ref = trace_image(scene, cam, cfg, w, h, 2.0, RV, BN)
+    out = trace_image_pallas(scene, cam, cfg, w, h, 2.0, RV, BN,
+                             tile_rows=32, tile_cols=128, interpret=True)
+    frac_bad, q95 = _lane_stats(ref, out)
+    assert frac_bad < 0.02, frac_bad
+    assert q95 < 1e-3, q95
+    # env NEE actually fires: some shadow rays reach the env (nonzero color
+    # beyond what primary misses alone produce)
+    assert float(np.mean(np.asarray(out.color).max(-1) > 0.0)) > 0.5
+
+
 def _textured_mesh(mr_value, emissive_value=None, T=21):
     """Random blob with per-vertex UVs, per-texel-varying albedo and spatially
     CONSTANT decision maps — per-triangle baked decisions then agree exactly
@@ -343,6 +368,71 @@ def test_megakernel_mesh_subpacket_parity():
     # split only changes which lanes share a cursor, not any lane's hits)
     np.testing.assert_array_equal(np.asarray(whole.color), np.asarray(sub.color))
     np.testing.assert_array_equal(np.asarray(whole.object_id), np.asarray(sub.object_id))
+
+
+# ---------------------------------------------------------------------------
+# staged (sorted-wavefront) mode: per-bounce ray reordering
+# ---------------------------------------------------------------------------
+
+def test_staged_reorder_matches_monolithic_cornell():
+    """Staged per-bounce phases + lane reordering == the monolithic fused
+    kernel bit-for-bit: all math is per-lane, the RNG is keyed by the
+    absolute pixel id carried in the state, and the scatter restores image
+    order."""
+    scene = cornell_scene(right_sphere_mat=TRANSPARENT)
+    camera = cornell_camera()
+    cfg = IntegratorConfig(bounces=4)
+    mono = trace_image_pallas(scene, camera, cfg, RES, RES, 2.0, RV, BN,
+                              tile_rows=32, interpret=True)
+    stag = trace_image_pallas(scene, camera, cfg, RES, RES, 2.0, RV, BN,
+                              tile_rows=32, interpret=True, reorder=True)
+    np.testing.assert_array_equal(np.asarray(mono.color), np.asarray(stag.color))
+    np.testing.assert_array_equal(np.asarray(mono.object_id), np.asarray(stag.object_id))
+    np.testing.assert_array_equal(np.asarray(mono.pixel_sharpness),
+                                  np.asarray(stag.pixel_sharpness))
+    np.testing.assert_array_equal(np.asarray(mono.object_normal),
+                                  np.asarray(stag.object_normal))
+
+
+@pytest.mark.parametrize("splits", [None, (2,)])
+def test_staged_reorder_matches_monolithic_textured_mesh(splits):
+    """Sorted-wavefront mode on the textured-PBR mesh family (the workload
+    reordering exists for): deferred albedo/emissive records ride the
+    permutation and scatter back exactly."""
+    from bpt_tpu.scenes.gltf_scene import gltf_camera, gltf_scene
+
+    scene = gltf_scene(_textured_mesh((0.0, 0.3, 0.8)))
+    cfg = IntegratorConfig(bounces=3, metal_roughness_lobe=True)
+    cam = gltf_camera()
+    h, w = 32, 128
+    mono = trace_image_pallas(scene, cam, cfg, w, h, 2.0, RV, BN,
+                              tile_rows=32, tile_cols=128, interpret=True)
+    stag = trace_image_pallas(scene, cam, cfg, w, h, 2.0, RV, BN,
+                              tile_rows=32, tile_cols=128, interpret=True,
+                              reorder=True, reorder_splits=splits)
+    np.testing.assert_array_equal(np.asarray(mono.color), np.asarray(stag.color))
+    np.testing.assert_array_equal(np.asarray(mono.object_id), np.asarray(stag.object_id))
+
+
+def test_staged_reorder_matches_monolithic_hdri_env_nee():
+    """Sorted-wavefront mode with env='hdri' + nee='env': the deferred
+    miss-weight/direction planes and the precomputed env draw planes all
+    ride the permutation."""
+    from apps.hdri_environment import synthetic_hdr
+    from bpt_tpu.scenes.gltf_scene import hdri_camera, hdri_scene
+
+    scene = hdri_scene(_synthetic_mesh(mat_type=1), synthetic_hdr(32, 64),
+                       sun_power=4.0)
+    cfg = IntegratorConfig(bounces=3, env="hdri", nee="env",
+                           diffuse_indirect_max=2)
+    cam = hdri_camera()
+    h, w = 32, 128
+    mono = trace_image_pallas(scene, cam, cfg, w, h, 2.0, RV, BN,
+                              tile_rows=32, tile_cols=128, interpret=True)
+    stag = trace_image_pallas(scene, cam, cfg, w, h, 2.0, RV, BN,
+                              tile_rows=32, tile_cols=128, interpret=True,
+                              reorder=True)
+    np.testing.assert_array_equal(np.asarray(mono.color), np.asarray(stag.color))
 
 
 def test_fused_pack_bakes_vertex_normal_map():
