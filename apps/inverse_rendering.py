@@ -21,6 +21,9 @@ def main():
     p.add_argument("--steps", type=int, default=40)
     p.add_argument("--lr", type=float, default=5e-2)
     p.add_argument("--tex-size", type=int, default=64, help="optimized map resolution")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused megakernel fwd+bwd (path-replay VJP + "
+                        "deferred-composition texture gradients)")
     args = p.parse_args()
     maybe_force_cpu(args)
 
@@ -58,13 +61,18 @@ def main():
 
     bn = jnp.asarray(blue_noise_table())
     rv = jnp.asarray([0.3, 0.7], jnp.float32)
+    import jax
+
+    interpret = args.pallas and jax.default_backend() != "tpu"
     target_scene, _ = build({"albedo": jnp.asarray(true_albedo)})
-    target = render_avg(target_scene, camera, cfg, args.size, (1.0, 2.0), rv, bn)
+    target = render_avg(target_scene, camera, cfg, args.size, (1.0, 2.0), rv, bn,
+                        pallas=args.pallas, interpret=interpret)
 
     init = {"albedo": jnp.full_like(jnp.asarray(true_albedo), 0.5)}
     clip = lambda p: {"albedo": jnp.clip(p["albedo"], 0.0, 1.0)}
     result = optimize(
-        build, init, target, cfg, args.size, steps=args.steps, lr=args.lr, param_clip=clip
+        build, init, target, cfg, args.size, steps=args.steps, lr=args.lr,
+        param_clip=clip, pallas=args.pallas, interpret=interpret,
     )
     losses = np.asarray(result.losses)
     err0 = float(np.abs(np.asarray(init["albedo"]) - true_albedo).mean())

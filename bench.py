@@ -57,13 +57,80 @@ def bench_gltf(args):
 
     fast_quads = _all_parallelograms(scene.quads)
 
+    if args.backward:
+        # fwd+bwd (inverse-rendering shape): path-replay VJP through the
+        # fused kernel + plain AD through the deferred texel composition —
+        # the gradient parameter is the PBR albedo MAP itself when the model
+        # is textured (apps/inverse_rendering.py's parameter), else the
+        # mesh-facing sphere color.
+        assert not args.reorder, "reorder mode has no VJP; drop --reorder"
+        from bpt_tpu.textures import quad_pack
+
+        textured = scene.mesh.albedo is not None
+
+        def k_frames_grad(param, frame0):
+            if textured:
+                s = scene._replace(mesh=scene.mesh._replace(
+                    albedo=param, albedo_q=quad_pack(param)))
+            else:
+                s = scene._replace(spheres=scene.spheres._replace(
+                    color=scene.spheres.color.at[1].set(param)))
+
+            def body(acc, fc):
+                r = trace_image_pallas(s, cam, cfg, w, h, fc, rv, bn,
+                                       tile_rows=args.tile_rows,
+                                       tile_cols=args.tile_cols,
+                                       fast_quads=fast_quads,
+                                       mesh_sub_rows=args.sub_rows,
+                                       differentiable=True)
+                return acc + r.color, None
+
+            out, _ = jax.lax.scan(
+                body, jnp.zeros((h, w, 3), jnp.float32),
+                frame0 + jnp.arange(0.0, args.frames))
+            return jnp.mean(out), out
+
+        param = (jnp.asarray(model.albedo) if textured
+                 else jnp.asarray([0.9, 0.9, 0.9]))
+        step = jax.jit(lambda p, f0: jax.value_and_grad(
+            k_frames_grad, has_aux=True)(p, f0))
+        jax.block_until_ready(step(param, jnp.asarray(2.0, jnp.float32)))
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            (_, out), g = step(param, jnp.asarray(2.0 + i * args.frames,
+                                                  jnp.float32))
+        jax.block_until_ready(g)
+        dt = (time.perf_counter() - t0) / args.iters
+        rays_per_s = h * w * args.bounces * args.frames / dt
+        grad_of = "albedo map" if textured else "sphere color"
+        print(json.dumps({
+            "metric": f"rays/s/chip fwd+bwd {h}x{w} {args.bounces} bounces "
+                      f"({args.model} glTF, fused megakernel + path-replay "
+                      f"vjp, grad wrt {grad_of})",
+            "value": round(rays_per_s, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_s / (1e9 / 16.0), 4),
+        }))
+        return
+
     def k_frames(s, frame0):
+        fcs = frame0 + jnp.arange(0.0, args.frames)
+        if args.reorder:
+            # multi-frame lane pool: all frames trace as ONE sorted
+            # wavefront (tighter packets + amortized sort/state overhead)
+            from bpt_tpu.kernels.megakernel import trace_frames_pallas
+
+            r = trace_frames_pallas(
+                s, cam, cfg, w, h, fcs, jnp.tile(rv, (args.frames, 1)), bn,
+                tile_rows=args.tile_rows, tile_cols=args.tile_cols,
+                fast_quads=fast_quads, mesh_sub_rows=args.sub_rows)
+            return jnp.sum(r.color, axis=0)
+
         def body(acc, fc):
             r = trace_image_pallas(s, cam, cfg, w, h, fc, rv, bn,
                                    tile_rows=args.tile_rows,
                                    tile_cols=args.tile_cols,
                                    fast_quads=fast_quads,
-                                   reorder=args.reorder,
                                    mesh_sub_rows=args.sub_rows)
             return acc + r.color, None
 
@@ -91,6 +158,84 @@ def bench_gltf(args):
     }))
 
 
+def bench_capacity(args):
+    """Reference-capacity mesh (524,288 tris — the 2048^2 data-texture cap,
+    GLTF_Model_Path_Tracing.js:291-295) on the fused staged path: triangle
+    rows stream from HBM with double-buffered per-leaf DMA, rays re-sort
+    between bounces."""
+    import numpy as np
+
+    from bpt_tpu.core.rng import blue_noise_table
+    from bpt_tpu.integrator import IntegratorConfig
+    from bpt_tpu.io.gltf import GLTFModel
+    from bpt_tpu.kernels.megakernel import trace_image_pallas
+    from bpt_tpu.scenes.gltf_scene import gltf_camera, gltf_scene, mesh_from_model
+
+    n_side = 512  # 2 * 512^2 = 524,288 triangles
+    xs = np.linspace(-45, 45, n_side + 1)
+    X, Z = np.meshgrid(xs, xs, indexing="ij")
+    Y = -20.0 + 4.0 * np.sin(X * 0.4) * np.cos(Z * 0.3)
+    P = np.stack([X, Y, Z], -1).astype(np.float32)
+    a = P[:-1, :-1].reshape(-1, 3)
+    b = P[1:, :-1].reshape(-1, 3)
+    c = P[1:, 1:].reshape(-1, 3)
+    d = P[:-1, 1:].reshape(-1, 3)
+    p0 = np.concatenate([a, a])
+    p1 = np.concatenate([c, d])
+    p2 = np.concatenate([b, c])
+    T = len(p0)
+    n = np.cross(p1 - p0, p2 - p0)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-9
+    z2 = np.zeros((T, 2), np.float32)
+    model = GLTFModel(p0=p0, p1=p1, p2=p2, n0=n, n1=n, n2=n, uv0=z2, uv1=z2,
+                      uv2=z2, albedo=None, normal_map=None,
+                      metallic_roughness=None, emissive=None)
+    # leaf 64 keeps the VMEM node table ~1 MB at this scale; triangle rows
+    # (67 MB) stay in HBM and stream per leaf
+    mesh = mesh_from_model(model, mat_type=1, leaf_size=64)
+    scene = gltf_scene(mesh)
+    cfg = IntegratorConfig(bounces=args.bounces)
+    cam = gltf_camera()
+    h = w = args.size
+    bn = jnp.asarray(blue_noise_table())
+    rv = jnp.asarray([0.3, 0.7], jnp.float32)
+
+    from bpt_tpu.kernels.megakernel import _all_parallelograms
+
+    fast_quads = _all_parallelograms(scene.quads)
+
+    def k_frames(s, frame0):
+        def body(acc, fc):
+            r = trace_image_pallas(s, cam, cfg, w, h, fc, rv, bn,
+                                   tile_rows=args.tile_rows,
+                                   tile_cols=args.tile_cols,
+                                   fast_quads=fast_quads, reorder=True,
+                                   mesh_sub_rows=args.sub_rows)
+            return acc + r.color, None
+
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((h, w, 3), jnp.float32),
+            frame0 + jnp.arange(0.0, args.frames),
+        )
+        return out
+
+    step = jax.jit(k_frames)
+    jax.block_until_ready(step(scene, jnp.asarray(2.0, jnp.float32)))
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        out = step(scene, jnp.asarray(2.0 + i * args.frames, jnp.float32))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.iters
+    rays_per_s = h * w * args.bounces * args.frames / dt
+    print(json.dumps({
+        "metric": f"rays/s/chip fwd {h}x{w} {args.bounces} bounces "
+                  f"({T}-tri mesh, fused staged walk + HBM leaf streaming)",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / (1e9 / 16.0), 4),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=1024)
@@ -98,6 +243,9 @@ def main():
     p.add_argument("--frames", type=int, default=8, help="frames fused per dispatch")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--forward-only", action="store_true")
+    p.add_argument("--backward", action="store_true",
+                   help="--scene gltf: time fwd+bwd (path-replay VJP + "
+                        "albedo-map gradient) instead of forward only")
     p.add_argument("--xla", action="store_true",
                    help="unfused XLA wavefront path (default: fused Pallas "
                         "megakernel with path-replay parameter gradients)")
@@ -111,13 +259,17 @@ def main():
     p.add_argument("--sub-rows", type=int, default=None,
                    help="mesh packet granularity override (rows per shared "
                         "cursor; default: auto heuristic)")
-    p.add_argument("--scene", choices=("cornell", "gltf"), default="cornell",
+    p.add_argument("--scene", choices=("cornell", "gltf", "capacity"),
+                   default="cornell",
                    help="'gltf' = teapot-in-Cornell on the fused in-loop BVH "
-                        "walk (forward only)")
+                        "walk (forward only); 'capacity' = 524,288-tri mesh "
+                        "on the staged HBM-streaming path")
     args = p.parse_args()
     args.pallas = not args.xla
     if args.scene == "gltf":
         return bench_gltf(args)
+    if args.scene == "capacity":
+        return bench_capacity(args)
 
     from bpt_tpu.core.rng import blue_noise_table
     from bpt_tpu.integrator import IntegratorConfig

@@ -51,6 +51,28 @@ class DenseClusteredBVH(NamedTuple):
     n_rows: int
 
 
+class OctDenseClusteredBVH(NamedTuple):
+    """DenseClusteredBVH plus EIGHT near-first escape-link orderings.
+
+    The escape-linked walk has no stack, so its visit order is frozen at
+    pack time — plain preorder visits geometry in arbitrary depth order and
+    t_best tightens late, which is what makes concave meshes (DamagedHelmet)
+    expensive: far subtrees get tested before the occluder in front of them.
+    Near-first ordering is direction-dependent, but only through the SIGN of
+    the ray direction along each node's child-separation axis — so eight
+    precomputed orderings (one per direction octant) cover every ray
+    exactly, and a direction-sorted packet walks the single ordering that
+    matches its (majority) octant.  All eight layouts reference ONE shared
+    triangle-row table; only the (Np, 16) node table is replicated."""
+
+    nodes_f: np.ndarray  # (Np, 16) preorder layout (HBM-walk compatible)
+    nodes_oct: np.ndarray  # (8 * Np, 16): near-first layout per octant
+    tris: np.ndarray  # (Rp, 128) shared dense rows
+    tri_order: np.ndarray  # (Rp*4,) packed slot -> original tri id
+    n_nodes: int  # Np (padded, per layout)
+    n_rows: int
+
+
 class ClusteredBVH(NamedTuple):
     """Preorder escape-linked BVH with multi-triangle leaves, padded for the
     kernel's row layouts."""
@@ -267,3 +289,158 @@ def pack_clustered_dense(
     # escaping to the row's own index would self-loop — see pack_clustered).
     nodes_f[n_nodes:, 6] = n_nodes + npad
     return DenseClusteredBVH(nodes_f, rows, order, n_nodes, n_rows)
+
+
+def pack_clustered_dense_oct(
+    bvh: BuiltBVH,
+    p0: np.ndarray,
+    p1: np.ndarray,
+    p2: np.ndarray,
+    n0: np.ndarray,
+    n1: np.ndarray,
+    n2: np.ndarray,
+    uv0: np.ndarray,
+    uv1: np.ndarray,
+    uv2: np.ndarray,
+    leaf_size: int = 16,
+    tri_attr: np.ndarray | None = None,
+) -> OctDenseClusteredBVH:
+    """Dense pack with the eight octant near-first orderings (see
+    OctDenseClusteredBVH).  The shared triangle rows and the preorder layout
+    are byte-identical to pack_clustered_dense's output."""
+    if leaf_size > 64:
+        raise ValueError("leaf_size > 64 exceeds the 16-row leaf DMA window")
+    node_tri = np.asarray(bvh.node_tri)
+    node_right = np.asarray(bvh.node_right)
+    node_min = np.asarray(bvh.node_min)
+    node_max = np.asarray(bvh.node_max)
+    n = len(node_tri)
+    count = np.zeros(n, np.int64)
+    for i in range(n - 1, -1, -1):
+        if node_tri[i] >= 0:
+            count[i] = 1
+        else:
+            count[i] = count[i + 1] + count[node_right[i]]
+
+    def leaves_of(i: int) -> list:
+        ids, st = [], [i]
+        while st:
+            j = st.pop()
+            if node_tri[j] >= 0:
+                ids.append(int(node_tri[j]))
+            else:
+                st.append(int(node_right[j]))
+                st.append(j + 1)
+        return ids
+
+    # ---- collapse into an explicit binary tree (preorder cid order, so
+    # the shared tri_order matches pack_clustered_dense exactly) ----------
+    cmin, cmax, cleft, cright, ctri = [], [], [], [], []
+    tri_order_raw: list = []
+    stack = [(0, -1, 0)]
+    while stack:
+        x, parent, slot = stack.pop()
+        cid = len(cmin)
+        cmin.append(node_min[x])
+        cmax.append(node_max[x])
+        cleft.append(-1)
+        cright.append(-1)
+        ctri.append((0, 0))
+        if parent >= 0:
+            if slot == 0:
+                cleft[parent] = cid
+            else:
+                cright[parent] = cid
+        if node_tri[x] >= 0 or count[x] <= leaf_size:
+            ids = leaves_of(x)
+            ctri[cid] = (len(tri_order_raw), len(ids))
+            tri_order_raw.extend(ids)
+        else:
+            stack.append((int(node_right[x]), cid, 1))  # popped second
+            stack.append((x + 1, cid, 0))  # popped first -> left-first
+    n_nodes = len(cmin)
+
+    # ---- shared dense rows: leaf cid order == preorder encounter order --
+    slots: list = []
+    row_of = {}  # leaf cid -> (row_start, row_count)
+    for cid in range(n_nodes):
+        s, c = ctri[cid]
+        if cleft[cid] < 0:
+            row_of[cid] = (len(slots) // 4, (c + 3) // 4)
+            slots.extend(int(t) for t in tri_order_raw[s:s + c])
+            slots.extend([-1] * (-c % 4))
+    n_rows = len(slots) // 4
+    rpad = (-n_rows % 8) + 16
+    order = np.asarray(slots + [-1] * (rpad * 4), np.int32)
+    rows = np.zeros((n_rows + rpad, 128), np.float32)
+    rec32 = np.zeros((len(order), 32), np.float32)
+    real = order >= 0
+    o = order[real]
+    rec32[real, 0:3] = p0[o]
+    rec32[real, 3:6] = p1[o]
+    rec32[real, 6:9] = p2[o]
+    rec32[real, 9:12] = n0[o]
+    rec32[real, 12:15] = n1[o]
+    rec32[real, 15:18] = n2[o]
+    rec32[real, 18:20] = uv0[o]
+    rec32[real, 20:22] = uv1[o]
+    rec32[real, 22:24] = uv2[o]
+    if tri_attr is not None:
+        na = tri_attr.shape[1]
+        assert na <= 8
+        rec32[real, 24:24 + na] = tri_attr[o]
+    rows[:] = rec32.reshape(n_rows + rpad, 128)
+
+    npad = -n_nodes % 8
+    np_pad = n_nodes + npad
+    if max(np_pad, n_rows + rpad) >= 1 << 24:
+        raise ValueError("mesh too large for the float-linked dense pack")
+    ctr = (np.asarray(cmin) + np.asarray(cmax)) * 0.5  # (Nc, 3)
+
+    def emit(sign=None):
+        """One layout: near-first child order for direction-octant ``sign``
+        (the child whose centroid lies earlier along the dominant separation
+        axis in the octant's direction sense goes first), or plain
+        left-first preorder when sign is None."""
+        mins, maxs, rec = [], [], []
+        st = [("v", 0)]
+        while st:
+            op, x = st.pop()
+            if op == "c":
+                rec[x][0] = len(rec)
+                continue
+            my = len(rec)
+            mins.append(cmin[x])
+            maxs.append(cmax[x])
+            if cleft[x] < 0:
+                rs, rc = row_of[x]
+                rec.append([0, rs, rc])
+            else:
+                rec.append([0, 0, 0])
+            st.append(("c", my))
+            if cleft[x] >= 0:
+                l, r = cleft[x], cright[x]
+                if sign is None:
+                    near, far = l, r
+                else:
+                    d = np.abs(ctr[l] - ctr[r])
+                    axis = int(np.argmax(d))
+                    near_left = (ctr[l][axis] <= ctr[r][axis]) == bool(sign[axis])
+                    near, far = (l, r) if near_left else (r, l)
+                st.append(("v", far))  # popped second
+                st.append(("v", near))  # popped first
+        out = np.zeros((np_pad, 16), np.float32)
+        out[:n_nodes, 0:3] = np.asarray(mins)
+        out[:n_nodes, 3:6] = np.asarray(maxs)
+        out[:n_nodes, 6:9] = np.asarray(rec, np.float32)
+        out[n_nodes:, 6] = np_pad  # pad rows escape past the end
+        return out
+
+    # preorder layout (== pack_clustered_dense) for the HBM-walk path
+    pre = emit(None)
+    # octant index bits: (rdx>0)<<2 | (rdy>0)<<1 | (rdz>0)
+    layouts = [
+        emit((bool(oc & 4), bool(oc & 2), bool(oc & 1))) for oc in range(8)
+    ]
+    nodes_oct = np.concatenate(layouts, axis=0)
+    return OctDenseClusteredBVH(pre, nodes_oct, rows, order, np_pad, n_rows)

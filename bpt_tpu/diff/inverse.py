@@ -25,12 +25,33 @@ class OptimizeResult(NamedTuple):
     losses: jnp.ndarray  # (steps,)
 
 
-def render_avg(scene, camera, cfg, size, frames, rand_vec2, blue_noise):
+def render_avg(scene, camera, cfg, size, frames, rand_vec2, blue_noise,
+               pallas: bool = False, interpret: bool = False):
     """Average of several 1-spp frames — the render op used on both sides of
-    the inverse-rendering loss (matched RNG: frame ids are shared)."""
+    the inverse-rendering loss (matched RNG: frame ids are shared).
+
+    ``pallas=True`` runs the fused megakernel with its path-replay custom
+    VJP instead of the wavefront integrator: texture-map gradients (the
+    albedo recovery parameter) flow through the kernel's deferred texel
+    composition by plain AD, material-color gradients through the
+    path-replay planes — fwd+bwd at fused-kernel speed."""
+    if pallas:
+        from bpt_tpu.kernels.megakernel import trace_image_pallas
+
+        def one(f):
+            return trace_image_pallas(
+                scene, camera, cfg, size, size, f, rand_vec2, blue_noise,
+                interpret=interpret, differentiable=True,
+            ).color
+    else:
+        def one(f):
+            return trace_image(
+                scene, camera, cfg, size, size, f, rand_vec2, blue_noise
+            ).color
+
     acc = 0.0
     for f in frames:
-        acc = acc + trace_image(scene, camera, cfg, size, size, f, rand_vec2, blue_noise).color
+        acc = acc + one(f)
     return acc / len(frames)
 
 
@@ -44,12 +65,15 @@ def optimize(
     lr: float = 2e-2,
     frames: Sequence[float] = (1.0, 2.0),
     param_clip=None,
+    pallas: bool = False,
+    interpret: bool = False,
 ) -> OptimizeResult:
     """Adam loop: params -> scene -> render -> MSE(target).
 
     build_scene(params) -> (scene, camera).  `param_clip` optionally maps the
     raw params pytree to a valid domain (e.g. clamp albedo to [0, 1]) after
     each update, keeping the optimization in the feasible set.
+    ``pallas=True``: fused-megakernel fwd+bwd (see render_avg).
     """
     bn = jnp.asarray(blue_noise_table())
     rv = jnp.asarray([0.3, 0.7], jnp.float32)
@@ -57,7 +81,8 @@ def optimize(
 
     def loss_fn(params):
         scene, camera = build_scene(params)
-        img = render_avg(scene, camera, cfg, size, frames, rv, bn)
+        img = render_avg(scene, camera, cfg, size, frames, rv, bn,
+                         pallas=pallas, interpret=interpret)
         return jnp.mean((img - target) ** 2)
 
     opt = optax.adam(lr)

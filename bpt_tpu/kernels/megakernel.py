@@ -476,7 +476,7 @@ def _safe_inv_slab(x):
     return jnp.where(jnp.abs(x) < 1e-20, 1e20, 1.0 / jnp.where(x == 0.0, 1.0, x))
 
 
-def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, active=None, textured=False, stream=None):
+def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, active=None, textured=False, stream=None, base=None):
     """Escape-linked packet walk of the dense clustered BVH for ONE
     sub-packet of rays — the fused-kernel analog of the reference's 28-deep
     per-pixel stack traversal (GLTFModelPathTracing_FragmentShader.js:206-298)
@@ -570,7 +570,9 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
         return jax.lax.fori_loop(0, nrows, row_body, c3)
 
     def box_test(i, t_best):
-        nf = nodes_f_ref[pl.ds(i, 1), :]  # (1, 16): min max esc row0 nrows
+        # `base` offsets into the per-octant near-first layout block
+        # (accel.cluster.pack_clustered_dense_oct); links stay relative
+        nf = nodes_f_ref[pl.ds(i if base is None else base + i, 1), :]  # (1, 16): min max esc row0 nrows
         tx0 = (nf[0, 0] - rox) * invx
         tx1 = (nf[0, 3] - rox) * invx
         ty0 = (nf[0, 1] - roy) * invy
@@ -797,7 +799,7 @@ def _state_layout(cfg: IntegratorConfig, mesh_textured: bool) -> list:
         "rox", "roy", "roz", "rdx", "rdy", "rdz",
         "m_r", "m_g", "m_b", "acc_r", "acc_g", "acc_b",
         "alive", "spec", "samp_l", "coat", "d_cnt", "sharp",
-        "prev_metal", "px", "py",
+        "prev_metal", "px", "py", "fr", "fslot",
         "obj_nx", "obj_ny", "obj_nz", "obj_cr", "obj_cg", "obj_cb", "obj_id",
     ]
     if cfg.env in ("sky", "hdri"):
@@ -811,7 +813,7 @@ def _state_layout(cfg: IntegratorConfig, mesh_textured: bool) -> list:
     return keys
 
 
-def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False, has_mesh: bool = False, n_nodes_p: int = 0, fast_quads: bool = False, mesh_textured: bool = False, sub_rows: int = 0, bounce_lo: int = 0, bounce_hi: int | None = None, staged: bool = False, mesh_stream: bool = False):
+def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False, has_mesh: bool = False, n_nodes_p: int = 0, fast_quads: bool = False, mesh_textured: bool = False, sub_rows: int = 0, bounce_lo: int = 0, bounce_hi: int | None = None, staged: bool = False, mesh_stream: bool = False, mesh_oct: bool = False):
     eps = cfg.eps_intersect
     if sub_rows <= 0:
         sub_rows = tile_rows
@@ -867,13 +869,20 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             i_arg += 3
         bn_ref = args[i_arg]
         i_arg += 1
-        st_in_ref = st_out_ref = stream_scratch = stream_sem = None
+        st_in_ref = st_out_ref = pix_ref = stream_scratch = stream_sem = None
         if staged:
             # staged (sorted-wavefront) phase: per-lane state rides ONE
             # (S, TH, W) plane stack in and out; the driver permutes lanes
-            # between phases (the ray-reordering seam).
+            # between phases (the ray-reordering seam).  The ray-gen phase
+            # instead takes a (4, TH, W) pixel stack [px, py, frame, fslot]
+            # — the driver chooses the lane↔(frame, pixel) layout freely
+            # (multi-frame fusion, block-contiguous orderings), and the
+            # kernel never consults program_id for identity.
             if state_in:
                 st_in_ref = args[i_arg]
+                i_arg += 1
+            else:
+                pix_ref = args[i_arg]
                 i_arg += 1
             st_out_ref = args[i_arg]
             i_arg += 1
@@ -898,26 +907,43 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             maybe_sg = args[i_arg:]
         f32 = jnp.float32
 
-        frame = scalars_ref[0]
         moving = scalars_ref[1] > 0.5
+        if staged:
+            # per-lane pixel identity AND frame counter (multi-frame lane
+            # pools fuse several progressive frames into one sorted
+            # wavefront; each lane's RNG is keyed by ITS (frame, pixel))
+            src = st_in_ref if state_in else pix_ref
+            if state_in:
+                px_f = src[layout.index("px")]
+                py_f = src[layout.index("py")]
+                frame = src[layout.index("fr")]
+                fslot = src[layout.index("fslot")]
+            else:
+                px_f, py_f, frame, fslot = src[0], src[1], src[2], src[3]
+        else:
+            frame = scalars_ref[0]
         fu = frame.astype(jnp.int32).astype(jnp.uint32)
 
         if not state_in:
-            row0 = pl.program_id(0) * tile_rows
-            col0 = pl.program_id(1) * tile_cols
-            py_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_cols), 0) + row0
-            px_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_cols), 1) + col0
-            px_f = px_i.astype(f32)
-            py_f = py_i.astype(f32)
+            if staged:
+                pxu = px_f.astype(jnp.int32).astype(jnp.uint32)
+                pyu = py_f.astype(jnp.int32).astype(jnp.uint32)
+            else:
+                row0 = pl.program_id(0) * tile_rows
+                col0 = pl.program_id(1) * tile_cols
+                py_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_cols), 0) + row0
+                px_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_cols), 1) + col0
+                px_f = px_i.astype(f32)
+                py_f = py_i.astype(f32)
+                pxu = px_i.astype(jnp.uint32)
+                pyu = py_i.astype(jnp.uint32)
             # --- RNG seeds (absolute pixel coords) -----------------------
-            sx = fu * px_i.astype(jnp.uint32)
-            sy = (fu + 1) * py_i.astype(jnp.uint32)
+            sx = fu * pxu
+            sy = (fu + 1) * pyu
         else:
             # lanes are permuted: absolute pixel coords ride the state, and
             # the fixed schedule lets the stream resume at a pure offset —
             # draw j uses seed + j, so seed + draws_before(bounce_lo).
-            px_f = st_in_ref[layout.index("px")]
-            py_f = st_in_ref[layout.index("py")]
             dpb = 2 + (3 if has_quad_light else 0) + (2 if use_lobe else 0)
             off = 4 + bounce_lo * dpb
             sx = fu * px_f.astype(jnp.int32).astype(jnp.uint32) + off
@@ -931,8 +957,8 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             ty, sx, sy = _rng_next(sx, sy)
             ox = _tent(tx)
             oy = _tent(ty)
-            ndc_x = ((px_i.astype(f32) + 0.5 + ox) / width) * 2.0 - 1.0
-            ndc_y = ((py_i.astype(f32) + 0.5 + oy) / height) * 2.0 - 1.0
+            ndc_x = ((px_f + 0.5 + ox) / width) * 2.0 - 1.0
+            ndc_y = ((py_f + 0.5 + oy) / height) * 2.0 - 1.0
             ulen = cam_ref[12]
             vlen = cam_ref[13]
             rdx = ndc_x * cam_ref[3] * ulen + ndc_y * cam_ref[6] * vlen + cam_ref[9]
@@ -1275,24 +1301,52 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                 stream = (
                     (stream_scratch, stream_sem) if mesh_stream else None
                 )
+
+                def pkt_base(rx, ry, rz, act_b):
+                    """Majority direction octant of the packet's live lanes
+                    -> base row of the matching near-first node layout.
+                    Any octant yields CORRECT hits (all layouts walk the
+                    same tree); the majority one maximizes early-t pruning
+                    for direction-sorted packets."""
+                    if not mesh_oct:
+                        return None
+                    if act_b is None:
+                        tot = float(rx.shape[0] * rx.shape[1])
+                        cnt = lambda v: jnp.sum(jnp.where(v > 0.0, 1.0, 0.0))
+                    else:
+                        a = act_b
+                        tot = jnp.sum(jnp.where(a, 1.0, 0.0))
+                        cnt = lambda v: jnp.sum(
+                            jnp.where(a & (v > 0.0), 1.0, 0.0))
+                    oct = (
+                        (2.0 * cnt(rx) > tot).astype(jnp.int32) * 4
+                        + (2.0 * cnt(ry) > tot).astype(jnp.int32) * 2
+                        + (2.0 * cnt(rz) > tot).astype(jnp.int32)
+                    )
+                    return oct * n_nodes_p
+
                 if sub_rows >= tile_rows:
+                    act_w = alive if bounce else None
                     walk = _mesh_walk(
                         (mro_x, mro_y, mro_z), (mrd_x, mrd_y, mrd_z),
                         cull_m, mnodes_f_ref, mtris_ref,
-                        n_nodes_p, t_best, active=(alive if bounce else None),
+                        n_nodes_p, t_best, active=act_w,
                         textured=mesh_textured, stream=stream,
+                        base=pkt_base(mrd_x, mrd_y, mrd_z, act_w),
                     )
                 else:
                     parts = []
                     for s0 in range(0, tile_rows, sub_rows):
                         sl = slice(s0, s0 + sub_rows)
+                        act_w = alive[sl] if bounce else None
                         walk_s = _mesh_walk(
                             (mro_x[sl], mro_y[sl], mro_z[sl]),
                             (mrd_x[sl], mrd_y[sl], mrd_z[sl]),
                             cull_m, mnodes_f_ref, mtris_ref,
                             n_nodes_p, t_best[sl],
-                            active=(alive[sl] if bounce else None),
+                            active=act_w,
                             textured=mesh_textured, stream=stream,
+                            base=pkt_base(mrd_x[sl], mrd_y[sl], mrd_z[sl], act_w),
                         )
                         parts.append(walk_s)
                     walk = tuple(
@@ -1776,6 +1830,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                 "alive": bf(alive), "spec": bf(spec), "samp_l": bf(samp_l),
                 "coat": bf(coat), "d_cnt": d_cnt.astype(f32), "sharp": sharp,
                 "prev_metal": bf(prev_metal), "px": px_f, "py": py_f,
+                "fr": frame, "fslot": fslot,
                 "obj_nx": obj_nx, "obj_ny": obj_ny, "obj_nz": obj_nz,
                 "obj_cr": obj_cr, "obj_cg": obj_cg, "obj_cb": obj_cb,
                 "obj_id": obj_id,
@@ -1866,11 +1921,13 @@ def pack_scene(scene: Scene):
     return quads, sph, qdr
 
 
-def pack_mesh(scene: Scene):
-    """TriangleMesh -> kernel inputs (mesh_s (18,) f32, nodes_f (Np,16),
-    tris_dense) or None.  mesh_s = inv 4x4 row-major, mat_type,
-    backface-cull flag (cull unless untextured TRANSPARENT,
-    GLTFModelPathTracing_FragmentShader.js:284-287)."""
+def pack_mesh(scene: Scene, use_oct: bool = False):
+    """TriangleMesh -> kernel inputs (mesh_s (18,) f32, nodes, tris_dense)
+    or None.  mesh_s = inv 4x4 row-major, mat_type, backface-cull flag
+    (cull unless untextured TRANSPARENT,
+    GLTFModelPathTracing_FragmentShader.js:284-287).  ``use_oct`` selects
+    the (8*Np, 16) octant near-first node layouts (see
+    accel.cluster.OctDenseClusteredBVH) instead of the preorder table."""
     m = scene.mesh
     if m is None:
         return None
@@ -1885,7 +1942,8 @@ def pack_mesh(scene: Scene):
     mesh_s = jnp.concatenate(
         [m.inv_matrix.reshape(16).astype(jnp.float32), mt[None], cull[None]]
     )
-    return mesh_s, m.fz_nodes_f, m.fz_tris
+    nodes = m.fz_nodes_oct if use_oct else m.fz_nodes_f
+    return mesh_s, nodes, m.fz_tris
 
 
 def pack_cornell_scene(scene: Scene):
@@ -1981,15 +2039,15 @@ def _env_nee_planes(scene, cfg, frame_counter, height, width):
     return jax.lax.stop_gradient(jnp.stack(planes))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "tile_cols", "interpret", "param_grads", "fast_quads", "mesh_textured", "sub_rows"))
-def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False, param_grads=False, fast_quads=False, mesh_textured=False, sub_rows=0):
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "tile_rows", "tile_cols", "interpret", "param_grads", "fast_quads", "mesh_textured", "sub_rows", "mesh_oct"))
+def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret=False, param_grads=False, fast_quads=False, mesh_textured=False, sub_rows=0, mesh_oct=False):
     quads, sph, qdr, mesh = packs
     n_quads = quads.shape[0]
     n_spheres = sph.shape[0] if sph is not None else 0
     n_quadrics = qdr.shape[0] if qdr is not None else 0
     n_obj = n_quads + n_spheres + n_quadrics
     has_mesh = mesh is not None
-    n_nodes_p = mesh[1].shape[0] if has_mesh else 0
+    n_nodes_p = (mesh[1].shape[0] // (8 if mesh_oct else 1)) if has_mesh else 0
     if has_mesh and tile_rows % 8:
         raise ValueError(
             "mesh scenes need tile_rows % 8 == 0 (the f32 VMEM row tiling "
@@ -2007,7 +2065,7 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
     n_out = 17 if cfg.env == "hdri" else 11
     if mesh_textured:
         n_out += 2 * cfg.bounces + 5  # per-bounce albedo UVs + emissive terminal
-    kernel = _make_kernel(cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width, height, param_grads, has_mesh=has_mesh, n_nodes_p=n_nodes_p, fast_quads=fast_quads, mesh_textured=mesh_textured, sub_rows=sub_rows)
+    kernel = _make_kernel(cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width, height, param_grads, has_mesh=has_mesh, n_nodes_p=n_nodes_p, fast_quads=fast_quads, mesh_textured=mesh_textured, sub_rows=sub_rows, mesh_oct=mesh_oct)
     grid = (height // tile_rows, width // tile_cols)
     plane = jax.ShapeDtypeStruct((height, width), jnp.float32)
     out_shape = [plane] * n_out
@@ -2058,35 +2116,39 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "height", "width", "tile_rows", "tile_cols", "interpret",
+    "cfg", "img_height", "img_width", "tile_rows", "tile_cols", "interpret",
     "fast_quads", "mesh_textured", "sub_rows", "bounce_lo", "bounce_hi",
-    "mesh_stream"))
-def _pallas_forward_staged(packs, cam, scalars, bn_planes, state, cfg, height,
-                           width, tile_rows, tile_cols, interpret=False,
-                           fast_quads=False, mesh_textured=False, sub_rows=0,
-                           bounce_lo=0, bounce_hi=None, mesh_stream=False):
+    "mesh_stream", "mesh_oct"))
+def _pallas_forward_staged(packs, cam, scalars, bn_planes, state, pix, cfg,
+                           img_height, img_width, tile_rows, tile_cols,
+                           interpret=False, fast_quads=False,
+                           mesh_textured=False, sub_rows=0, bounce_lo=0,
+                           bounce_hi=None, mesh_stream=False, mesh_oct=False):
     """One staged phase: bounces [bounce_lo, bounce_hi) with per-lane state
-    riding an (S, H, W) plane stack (None for the ray-gen phase).  Returns
-    the updated state stack.  With ``mesh_stream`` the triangle table stays
-    in HBM and leaves are double-buffer-DMA'd (reference-capacity meshes on
-    the fused path)."""
+    riding an (S, R, W) plane stack.  The lane grid (R, W) is decoupled from
+    the image: R = frames * img_height when several progressive frames fuse
+    into one lane pool.  The ray-gen phase takes ``pix`` (4, R, W):
+    [px, py, frame, fslot] and state=None; later phases the reverse.  With
+    ``mesh_stream`` the triangle table stays in HBM and leaves are
+    double-buffer-DMA'd (reference-capacity meshes on the fused path)."""
     quads, sph, qdr, mesh = packs
     n_quads = quads.shape[0]
     n_spheres = sph.shape[0] if sph is not None else 0
     n_quadrics = qdr.shape[0] if qdr is not None else 0
     has_mesh = mesh is not None
-    n_nodes_p = mesh[1].shape[0] if has_mesh else 0
+    n_nodes_p = (mesh[1].shape[0] // (8 if mesh_oct else 1)) if has_mesh else 0
     layout = _state_layout(cfg, mesh_textured)
     S = len(layout)
+    rows, wcols = (pix.shape[1:] if state is None else state.shape[1:])
     kernel = _make_kernel(
-        cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width,
-        height, False, has_mesh=has_mesh, n_nodes_p=n_nodes_p,
+        cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, img_width,
+        img_height, False, has_mesh=has_mesh, n_nodes_p=n_nodes_p,
         fast_quads=fast_quads, mesh_textured=mesh_textured, sub_rows=sub_rows,
         bounce_lo=bounce_lo, bounce_hi=bounce_hi, staged=True,
-        mesh_stream=mesh_stream,
+        mesh_stream=mesh_stream, mesh_oct=mesh_oct,
     )
-    grid = (height // tile_rows, width // tile_cols)
-    out_shape = [jax.ShapeDtypeStruct((S, height, width), jnp.float32)]
+    grid = (rows // tile_rows, wcols // tile_cols)
+    out_shape = [jax.ShapeDtypeStruct((S, rows, wcols), jnp.float32)]
     out_specs = [pl.BlockSpec((S, tile_rows, tile_cols), lambda i, j: (0, i, j),
                               memory_space=pltpu.VMEM)]
     inputs = [cam, scalars, quads]
@@ -2118,16 +2180,23 @@ def _pallas_forward_staged(packs, cam, scalars, bn_planes, state, cfg, height,
             pl.BlockSpec((S, tile_rows, tile_cols), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM)
         )
+    else:
+        inputs.append(pix)
+        in_specs.append(
+            pl.BlockSpec((4, tile_rows, tile_cols), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
+        )
     scratch_shapes = []
     if mesh_stream:
         scratch_shapes = [
             pltpu.VMEM((2, 16, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-    grid_spec = pl.GridSpec(grid=grid, in_specs=in_specs, out_specs=out_specs)
     (out,) = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
@@ -2135,13 +2204,20 @@ def _pallas_forward_staged(packs, cam, scalars, bn_planes, state, cfg, height,
     return out
 
 
-def _sort_key(state, layout):
-    """Per-lane reorder key: dead lanes last (compaction), then 4-bit/axis
-    Morton code of the next ray origin (hit-surface locality), then the ray
-    direction octant — so each (sub_rows, cols) packet's BVH subtree union
-    stays tight under secondary-bounce divergence.  The fixed-schedule RNG
-    is keyed by absolute pixel id (carried in the state), so reordering
-    cannot perturb any draw."""
+def _sort_key(state, layout, mode="oct-morton"):
+    """Per-lane reorder key: dead lanes last (compaction), live lanes
+    clustered so each (sub_rows, cols) packet's BVH subtree union stays
+    tight under secondary-bounce divergence.  The fixed-schedule RNG is
+    keyed by absolute pixel id (carried in the state), so reordering cannot
+    perturb any draw.
+
+    Key modes (most-significant field first):
+      'oct-morton'  — direction octant, then 4-bit/axis Morton of origin
+                      (direction-coherent packets; measured best on the
+                      divergent-mesh family)
+      'morton-oct'  — origin Morton, then octant
+      'dir-morton'  — 2-bit/axis quantized direction, then origin Morton
+    """
 
     def P(name):
         return state[layout.index(name)]
@@ -2155,62 +2231,145 @@ def _sort_key(state, layout):
         lo = jnp.min(jnp.where(alive, v, big))
         hi = jnp.max(jnp.where(alive, v, -big))
         qs.append(jnp.clip(
-            (v - lo) / jnp.maximum(hi - lo, 1e-6) * 16.0, 0.0, 15.0
+            (v - lo) / jnp.maximum(hi - lo, 1e-6) * 64.0, 0.0, 63.0
         ).astype(jnp.int32))
 
-    def spread(x):  # 4-bit Morton spread: bit k -> bit 3k
-        return (
-            (x & 1)
-            | (((x >> 1) & 1) << 3)
-            | (((x >> 2) & 1) << 6)
-            | (((x >> 3) & 1) << 9)
-        )
+    def spread(x):  # 6-bit Morton spread: bit k -> bit 3k
+        out = x & 1
+        for k in range(1, 6):
+            out = out | (((x >> k) & 1) << (3 * k))
+        return out
 
+    # 18-bit Morton: fine enough that a multi-frame pool's 2048-lane
+    # packets sit well inside one cell's population
     morton = (spread(qs[0]) << 2) | (spread(qs[1]) << 1) | spread(qs[2])
     octant = (
         ((rd[0] > 0).astype(jnp.int32) << 2)
         | ((rd[1] > 0).astype(jnp.int32) << 1)
         | (rd[2] > 0).astype(jnp.int32)
     )
-    return jnp.where(alive, (morton << 3) | octant, jnp.int32(1) << 30)
+    if mode == "morton-oct":
+        key = (morton << 3) | octant
+    elif mode == "oct-morton":
+        key = (octant << 18) | morton
+    elif mode == "dir-morton":
+        qd = [jnp.clip((v * 0.5 + 0.5) * 4.0, 0.0, 3.0).astype(jnp.int32)
+              for v in rd]
+        dir6 = (qd[0] << 4) | (qd[1] << 2) | qd[2]
+        key = (dir6 << 18) | morton
+    else:
+        raise ValueError(mode)
+    return jnp.where(alive, key, jnp.int32(1) << 30)
 
 
-def _trace_staged(packs, cam, scalars, bn_planes, cfg, height, width,
+def _trace_staged(packs, cam, scalars, bn_stack, frames, cfg, height, width,
                   tile_rows, tile_cols, interpret, fast_quads, mesh_textured,
-                  sub_rows, splits, mesh_stream):
-    """Staged driver: run phase 0 in image order, then for each later phase
-    sort the live wavefront (argsort + one row gather over the bundled
-    state+draw planes — sub-ms on a v5 chip), run the phase on the permuted
-    lanes, and finally scatter the state back to image order.  Returns the
-    monolithic kernel's `outs` tuple so trace_image_pallas's composition
-    tail (deferred equirect / PBR texel fetches) is shared verbatim."""
+                  sub_rows, splits, mesh_stream, reorder_key="oct-morton",
+                  sub_rows_primary=None, mesh_oct=False, img_height=None,
+                  row_offset=0):
+    """Staged driver over a MULTI-FRAME lane pool.
+
+    ``frames``: (F,) frame counters; ``bn_stack``: (C, F, H, W) per-frame
+    draw planes (blue noise [+ env-NEE samples]).  All F progressive frames
+    fuse into one lane pool of F*H*W rays: the pool is laid out in
+    interleaved 8-row blocks (block-major, frame-minor) so a whole-tile
+    primary packet bundles the F frames' near-identical camera rays, and
+    between bounces the WHOLE pool sorts together — an F× larger sort pool
+    cuts each packet's key span (and so its BVH footprint) by ~F on the
+    divergent bounces.  Phase 0 runs in layout order; later phases run on
+    sorted lanes; the final state scatters straight to (F, H, W) via the
+    per-lane (fslot, py, px) identity.
+
+    Returns the monolithic kernel's `outs` tuple with a leading F axis, so
+    the composition tail (deferred equirect / PBR texel fetches) is shared
+    verbatim."""
     layout = _state_layout(cfg, mesh_textured)
     S = len(layout)
-    N = height * width
-    kw = dict(cfg=cfg, height=height, width=width, tile_rows=tile_rows,
-              tile_cols=tile_cols, interpret=interpret, fast_quads=fast_quads,
-              mesh_textured=mesh_textured, sub_rows=sub_rows,
-              mesh_stream=mesh_stream)
+    F = frames.shape[0]
+    M = F * height * width
+    lane_w = min(width, 256)
+    rows_total = M // lane_w
+    assert height % 8 == 0 and M % lane_w == 0
+    nb_c = bn_stack.shape[0]
+
+    # Lane layout for phase 0 (the driver owns the lane↔pixel map; the
+    # kernel reads identity from the pix planes).  Primary packets share a
+    # BVH cursor per (sub_rows, lane_w) row group, so lanes are ordered in
+    # SQUARE-ISH 32x64 pixel blocks (2048 lanes = one (8, 256) sub-packet)
+    # rather than full-width strips — a strip spans the whole silhouette
+    # and its subtree union approaches the whole tree, a block covers ~2%
+    # of it.  Frames interleave block-major so a whole-tile cursor bundles
+    # the F frames' near-identical rays of one block.
+    bh, bw = 32, 64
+    blocked = (height % bh == 0) and (width % bw == 0) and lane_w == 256
+
+    def to_lanes(x):
+        c = x.shape[0]
+        if blocked:
+            # (C,F,H,W) -> blocks of (bh, bw), block-major, frame-minor
+            x = x.reshape(c, F, height // bh, bh, width // bw, bw)
+            x = x.transpose(0, 2, 4, 1, 3, 5)  # (c, nbh, nbw, F, bh, bw)
+            return x.reshape(c, rows_total, lane_w)
+        # fallback: 8-row strips, block-major frame-minor
+        x = x.reshape(c, F, height // 8, 8, width)
+        x = x.transpose(0, 2, 1, 3, 4)
+        return x.reshape(c, rows_total, lane_w)
+
+    px0 = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    # absolute image rows (row_offset != 0 under row-sharded shard_map —
+    # the RNG and NDC are keyed by absolute pixel coordinates)
+    py0 = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + row_offset
+    ones_f = jnp.ones((F, height, width), jnp.float32)
+    pix = jnp.stack([
+        px0[None] * ones_f,
+        py0[None] * ones_f,
+        frames.astype(jnp.float32)[:, None, None] * jnp.ones((height, width), jnp.float32),
+        jnp.arange(F, dtype=jnp.float32)[:, None, None] * jnp.ones((height, width), jnp.float32),
+    ])  # (4, F, H, W)
+    pix = to_lanes(pix)
+    nb = to_lanes(bn_stack)
+
+    kw = dict(cfg=cfg, img_height=img_height or height, img_width=width,
+              tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
+              fast_quads=fast_quads, mesh_textured=mesh_textured,
+              mesh_stream=mesh_stream, mesh_oct=mesh_oct)
     bounds = [0] + list(splits) + [cfg.bounces]
-    state = _pallas_forward_staged(packs, cam, scalars, bn_planes, None,
-                                   bounce_lo=0, bounce_hi=bounds[1], **kw)
-    perm_total = jnp.arange(N, dtype=jnp.int32)
-    nb = bn_planes
-    nb_c = bn_planes.shape[0]
+    # primary packets are camera-coherent (and bundle F frames of the same
+    # pixel block): default to one whole-tile shared cursor
+    tile_rows = min(tile_rows, rows_total)
+    sr0 = tile_rows if sub_rows_primary is None else sub_rows_primary
+    state = _pallas_forward_staged(packs, cam, scalars, nb, None, pix,
+                                   bounce_lo=0, bounce_hi=bounds[1],
+                                   sub_rows=sr0, **kw)
+    # Permutations move GROUPS of 8 consecutive-x lanes, never single lanes:
+    # a per-lane row gather over the (M, S+C) bundle costs ~15 cycles/row on
+    # TPU (~16 ms at 1M lanes), group-8 rows cost 1/8th of that.  Groups of
+    # 8 adjacent pixels are maximally coherent anyway, and because every
+    # layout above emits aligned 8-pixel runs, groups survive all sorts
+    # intact — including the final scatter home.
+    G = 8
+    C_all = S + nb_c
     for lo, hi in zip(bounds[1:-1], bounds[2:]):
-        key = _sort_key(state, layout).reshape(N)
-        perm = jnp.argsort(key)
-        bundle = jnp.concatenate([state, nb], axis=0).reshape(S + nb_c, N).T
-        bundle = jnp.take(bundle, perm, axis=0).T
-        state = bundle[:S].reshape(S, height, width)
-        nb = bundle[S:].reshape(nb_c, height, width)
-        perm_total = jnp.take(perm_total, perm)
-        state = _pallas_forward_staged(packs, cam, scalars, nb, state,
-                                       bounce_lo=lo, bounce_hi=hi, **kw)
-    # scatter the final state back to image order (one row scatter)
-    rows = state.reshape(S, N).T
-    rows = jnp.zeros_like(rows).at[perm_total].set(rows)
-    state = rows.T.reshape(S, height, width)
+        key = _sort_key(state, layout, reorder_key).reshape(M // G, G)
+        gperm = jnp.argsort(jnp.min(key, axis=1))
+        bundle = jnp.concatenate([state, nb], axis=0).reshape(C_all, M).T
+        bundle = jnp.take(bundle.reshape(M // G, G * C_all), gperm, axis=0)
+        bundle = bundle.reshape(M, C_all).T
+        state = bundle[:S].reshape(S, rows_total, lane_w)
+        nb = bundle[S:].reshape(nb_c, rows_total, lane_w)
+        state = _pallas_forward_staged(packs, cam, scalars, nb, state, None,
+                                       bounce_lo=lo, bounce_hi=hi,
+                                       sub_rows=sub_rows, **kw)
+    # scatter the final state straight to image order via the per-lane
+    # (frame-slot, pixel) identity — groups land as 8-pixel runs
+    fslot = state[layout.index("fslot")].astype(jnp.int32)
+    py = state[layout.index("py")].astype(jnp.int32)
+    px = state[layout.index("px")].astype(jnp.int32)
+    flat = ((fslot * height + (py - row_offset)) * width + px).reshape(M)
+    rows = state.reshape(S, M).T.reshape(M // G, G * S)
+    gdst = flat.reshape(M // G, G)[:, 0] // G
+    rows = jnp.zeros_like(rows).at[gdst].set(rows)
+    state = rows.reshape(M, S).T.reshape(S, F, height, width)
 
     def P(name):
         return state[layout.index(name)]
@@ -2245,7 +2404,7 @@ def _zeros_ct(x):
 
 
 @functools.lru_cache(maxsize=64)
-def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile_cols: int, interpret: bool, fast_quads: bool = False, mesh_textured: bool = False, sub_rows: int = 0):
+def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile_cols: int, interpret: bool, fast_quads: bool = False, mesh_textured: bool = False, sub_rows: int = 0, mesh_oct: bool = False):
     """Returns radiance(quads, sph, cam, scalars, bn) differentiable w.r.t.
     the packed material-color columns (quads[:,15:18], sph[:,16:19]) — the
     emission/albedo parameters of the Cornell-family inverse problem
@@ -2257,7 +2416,8 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
 
     kw = dict(cfg=cfg, height=height, width=width, tile_rows=tile_rows,
               tile_cols=tile_cols, interpret=interpret, fast_quads=fast_quads,
-              mesh_textured=mesh_textured, sub_rows=sub_rows)
+              mesh_textured=mesh_textured, sub_rows=sub_rows,
+              mesh_oct=mesh_oct)
     env_hdri = cfg.env == "hdri"
     # index of the emissive-terminal throughput planes among the outputs
     em_idx = (17 if env_hdri else 11) + 2 * cfg.bounces if mesh_textured else None
@@ -2329,56 +2489,10 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
     return f
 
 
-def trace_image_pallas(
-    scene: Scene,
-    camera,
-    cfg: IntegratorConfig,
-    width: int,
-    height: int,
-    frame_counter,
-    rand_vec2,
-    blue_noise,
-    tile_rows: int = 32,
-    tile_cols: int = 256,
-    interpret: bool = False,
-    differentiable: bool = False,
-    mesh_sub_rows: int | None = None,
-    fast_quads: bool | None = None,
-    reorder: bool = False,
-    reorder_splits: tuple | None = None,
-):
-    """Pallas forward of the Cornell-, quadric-, sky-, glTF- and HDRI-family
-    radiance pass.
-
-    Returns the same RadianceResult as integrator.frame.trace_image (same
-    RNG schedule, float-level parity).  Covers scenes built from quads +
-    matrix-instanced unit spheres + the 12-shape transformed-quadric set +
-    one untextured BVH triangle mesh (walked in-loop by the escape-linked
-    packet traversal), with env 'none' + quad NEE (Cornell /
-    Transformed_Quadric_Geometry / GLTF_Model demos), env 'sky' + sun NEE
-    (Physical_Sky_Model: Preetham miss shading with the 5-case chain), or
-    env 'hdri' + sun NEE or env-CDF NEE (HDRI_Environment: the kernel defers
-    the equirect fetch by emitting miss-weight/direction planes — a path
-    misses at most once — and this wrapper composes
-    ``color += miss_w * Get_HDR_Color``; for nee='env' the inverse-CDF
-    samples are precomputed host-side from the same fixed-schedule draws,
-    see ``_env_nee_planes``).
-
-    With ``differentiable=True`` the call carries the fused path-replay
-    custom_vjp: gradients flow to quad/sphere/quadric material colors (incl.
-    the light emission) at ~forward cost; env 'hdri' additionally gets exact
-    HDR-image/exposure gradients through the outer equirect composition.
-    Other leaves get zero cotangents.
-
-    Textured (PBR) meshes run fused too: the kernel walks the BVH in-loop,
-    takes material decisions from per-triangle baked attributes
-    (scenes.gltf_scene.bake_triangle_attrs), and DEFERS the albedo/emissive
-    texel fetches via per-bounce UV planes composed here — values are
-    bilinear-texel-exact, decisions are per-triangle (the documented
-    approximation; the wavefront path decides per texel).
-    """
-    from bpt_tpu.integrator.radiance import RadianceResult
-
+def _setup_inputs(scene: Scene, camera, cfg: IntegratorConfig, width, height,
+                  frame_counter, want_oct: bool = False):
+    """Shared packing/validation for the fused entry points: (packs, cam,
+    scalars)."""
     assert cfg.env in ("none", "sky", "hdri")
     assert cfg.nee in ("quad", "sun", "env")
     assert (cfg.env == "none") == (cfg.nee == "quad")
@@ -2390,7 +2504,17 @@ def trace_image_pallas(
         assert scene.mesh is not None and scene.mesh.albedo is not None, (
             "metal_roughness_lobe needs a textured mesh (per-lane roughness)"
         )
-    packs = pack_scene(scene) + (pack_mesh(scene),)
+    # octant near-first layouts: 8x the node table — staged-path only
+    # (the monolithic kernel's ~24 live output buffers leave no VMEM for
+    # the replicated table), and only when small enough to leave room for
+    # the rest of the kernel
+    use_oct = (
+        want_oct
+        and scene.mesh is not None
+        and scene.mesh.fz_nodes_oct is not None
+        and scene.mesh.fz_nodes_oct.size * 4 <= 8 * 1024 * 1024
+    )
+    packs = pack_scene(scene) + (pack_mesh(scene, use_oct),)
     cam = pack_camera(camera, width, height)
     shape_k = (
         jnp.asarray(scene.quadrics.shape_k, jnp.float32)
@@ -2428,6 +2552,143 @@ def trace_image_pallas(
             jnp.asarray(sky_blend, jnp.float32),
         ]
     )
+    return packs, cam, scalars, use_oct
+
+
+def trace_frames_pallas(
+    scene: Scene,
+    camera,
+    cfg: IntegratorConfig,
+    width: int,
+    height: int,
+    frame_counters,
+    rand_vec2s,
+    blue_noise,
+    tile_rows: int = 32,
+    tile_cols: int = 256,
+    interpret: bool = False,
+    mesh_sub_rows: int | None = None,
+    fast_quads: bool | None = None,
+    reorder_splits: tuple | None = None,
+    reorder_key: str = "oct-morton",
+    full_height: int | None = None,
+    row_offset=0,
+    mesh_stream: bool | None = None,
+):
+    """Fused MULTI-FRAME render on the staged sorted-wavefront path.
+
+    Traces F progressive frames in ONE lane pool of F*H*W rays (see
+    _trace_staged): primary packets bundle the F frames' near-identical
+    camera rays under one shared BVH cursor, and the between-bounce sort
+    sees an F× larger pool, so divergent-bounce packets stay F× tighter —
+    the multi-sample generalization of ray reordering, and the natural
+    shape for progressive accumulation (the renderer batches frames per
+    dispatch anyway).
+
+    frame_counters: (F,) floats; rand_vec2s: (F, 2) per-frame blue-noise
+    offsets.  Returns a RadianceResult whose leaves have a leading F axis —
+    numerically identical (lane-for-lane) to F single-frame
+    trace_image_pallas calls.
+    """
+    frame_counters = jnp.asarray(frame_counters, jnp.float32)
+    rand_vec2s = jnp.asarray(rand_vec2s, jnp.float32)
+    F = int(frame_counters.shape[0])
+    h_img = full_height if full_height is not None else height
+    packs, cam, scalars, use_oct = _setup_inputs(
+        scene, camera, cfg, width, h_img, frame_counters[0], want_oct=True
+    )
+    bn = jnp.asarray(blue_noise)
+    stacks = []
+    for f in range(F):
+        # draw planes are built for the FULL image and row-sliced, so a
+        # row-sharded shard (row_offset != 0) consumes identical draws
+        planes = _blue_noise_planes(bn, h_img, width, rand_vec2s[f])
+        if cfg.nee == "env":
+            planes = jnp.concatenate(
+                [planes,
+                 _env_nee_planes(scene, cfg, frame_counters[f], h_img, width)],
+                axis=0,
+            )
+        planes = jax.lax.dynamic_slice_in_dim(planes, row_offset, height, axis=1)
+        stacks.append(planes)
+    bn_stack = jnp.stack(stacks, axis=1)  # (C, F, H, W)
+    tile_rows = min(tile_rows, F * height)
+    tile_cols = min(tile_cols, width)
+    if fast_quads is None:
+        fast_quads = _all_parallelograms(scene.quads)
+    mesh_textured = scene.mesh is not None and scene.mesh.albedo is not None
+    sub_rows = 8 if (scene.mesh is not None and scene.mesh.fz_tris is not None
+                     and int(scene.mesh.fz_tris.shape[0]) > 2048) else 0
+    if mesh_sub_rows is not None:
+        sub_rows = mesh_sub_rows
+    splits = (tuple(reorder_splits) if reorder_splits is not None
+              else tuple(range(1, cfg.bounces)))
+    if mesh_stream is None:
+        mesh_stream = False
+        if scene.mesh is not None:
+            mesh_bytes = (packs[3][1].size + packs[3][2].size) * 4
+            mesh_stream = mesh_bytes > 12 * 1024 * 1024
+    outs = _trace_staged(
+        packs, cam, scalars, bn_stack, frame_counters, cfg, height, width,
+        tile_rows, tile_cols, interpret, fast_quads, mesh_textured,
+        sub_rows, splits, mesh_stream, reorder_key, mesh_oct=use_oct,
+        img_height=h_img, row_offset=row_offset,
+    )
+    return _compose_result(outs, scene, cfg, mesh_textured)
+
+
+def trace_image_pallas(
+    scene: Scene,
+    camera,
+    cfg: IntegratorConfig,
+    width: int,
+    height: int,
+    frame_counter,
+    rand_vec2,
+    blue_noise,
+    tile_rows: int = 32,
+    tile_cols: int = 256,
+    interpret: bool = False,
+    differentiable: bool = False,
+    mesh_sub_rows: int | None = None,
+    fast_quads: bool | None = None,
+    reorder: bool = False,
+    reorder_splits: tuple | None = None,
+    reorder_key: str = "oct-morton",
+):
+    """Pallas forward of the Cornell-, quadric-, sky-, glTF- and HDRI-family
+    radiance pass.
+
+    Returns the same RadianceResult as integrator.frame.trace_image (same
+    RNG schedule, float-level parity).  Covers scenes built from quads +
+    matrix-instanced unit spheres + the 12-shape transformed-quadric set +
+    one untextured BVH triangle mesh (walked in-loop by the escape-linked
+    packet traversal), with env 'none' + quad NEE (Cornell /
+    Transformed_Quadric_Geometry / GLTF_Model demos), env 'sky' + sun NEE
+    (Physical_Sky_Model: Preetham miss shading with the 5-case chain), or
+    env 'hdri' + sun NEE or env-CDF NEE (HDRI_Environment: the kernel defers
+    the equirect fetch by emitting miss-weight/direction planes — a path
+    misses at most once — and this wrapper composes
+    ``color += miss_w * Get_HDR_Color``; for nee='env' the inverse-CDF
+    samples are precomputed host-side from the same fixed-schedule draws,
+    see ``_env_nee_planes``).
+
+    With ``differentiable=True`` the call carries the fused path-replay
+    custom_vjp: gradients flow to quad/sphere/quadric material colors (incl.
+    the light emission) at ~forward cost; env 'hdri' additionally gets exact
+    HDR-image/exposure gradients through the outer equirect composition.
+    Other leaves get zero cotangents.
+
+    Textured (PBR) meshes run fused too: the kernel walks the BVH in-loop,
+    takes material decisions from per-triangle baked attributes
+    (scenes.gltf_scene.bake_triangle_attrs), and DEFERS the albedo/emissive
+    texel fetches via per-bounce UV planes composed here — values are
+    bilinear-texel-exact, decisions are per-triangle (the documented
+    approximation; the wavefront path decides per texel).
+    """
+    packs, cam, scalars, use_oct = _setup_inputs(scene, camera, cfg, width,
+                                                 height, frame_counter,
+                                                 want_oct=reorder)
     bn_planes = _blue_noise_planes(jnp.asarray(blue_noise), height, width, jnp.asarray(rand_vec2))
     if cfg.nee == "env":
         bn_planes = jnp.concatenate(
@@ -2451,11 +2712,11 @@ def trace_image_pallas(
     if mesh_sub_rows is not None:
         sub_rows = mesh_sub_rows
     if reorder:
-        # staged sorted-wavefront mode: split the bounce loop into phases and
-        # reorder rays between them (Morton-of-origin + direction octant +
-        # dead-lane compaction).  Meshes whose dense pack exceeds the VMEM
-        # budget automatically switch to HBM leaf streaming, so reference-
-        # capacity scenes stay on the fused path.
+        # staged sorted-wavefront mode (single-frame pool): split the bounce
+        # loop into phases and reorder rays between them (Morton-of-origin +
+        # direction octant + dead-lane compaction).  Meshes whose dense pack
+        # exceeds the VMEM budget automatically switch to HBM leaf
+        # streaming, so reference-capacity scenes stay on the fused path.
         assert not differentiable, (
             "reorder=True has no path-replay VJP yet — use the monolithic "
             "fused path (differentiable=True) or the wavefront integrator")
@@ -2466,19 +2727,32 @@ def trace_image_pallas(
             mesh_bytes = (packs[3][1].size + packs[3][2].size) * 4
             mesh_stream = mesh_bytes > 12 * 1024 * 1024
         outs = _trace_staged(
-            packs, cam, scalars, bn_planes, cfg, height, width, tile_rows,
-            tile_cols, interpret, fast_quads, mesh_textured, sub_rows,
-            splits, mesh_stream,
+            packs, cam, scalars, bn_planes[:, None],
+            jnp.asarray(frame_counter, jnp.float32)[None], cfg, height, width,
+            tile_rows, tile_cols, interpret, fast_quads, mesh_textured,
+            sub_rows, splits, mesh_stream, reorder_key,
+            sub_rows_primary=sub_rows if sub_rows else None,
+            mesh_oct=use_oct,
         )
+        outs = tuple(o[0] for o in outs)  # squeeze the F=1 axis
     elif differentiable:
         f = _prb_fn(cfg, height, width, tile_rows, tile_cols, interpret,
-                    fast_quads, mesh_textured, sub_rows)
+                    fast_quads, mesh_textured, sub_rows, use_oct)
         outs = f(packs, cam, scalars, bn_planes)
     else:
         outs = _pallas_forward(
             packs, cam, scalars, bn_planes, cfg, height, width, tile_rows, tile_cols, interpret,
             fast_quads=fast_quads, mesh_textured=mesh_textured, sub_rows=sub_rows,
+            mesh_oct=use_oct,
         )
+    return _compose_result(outs, scene, cfg, mesh_textured)
+
+
+def _compose_result(outs, scene, cfg, mesh_textured):
+    """Composition tail shared by every fused path (monolithic, staged,
+    multi-frame — planes may carry leading batch axes)."""
+    from bpt_tpu.integrator.radiance import RadianceResult
+
     (cr, cg, cb, onx, ony, onz, ocr, ocg, ocb, oid, osh) = outs[:11]
     color = jnp.stack([cr, cg, cb], axis=-1)
     n_base = 11

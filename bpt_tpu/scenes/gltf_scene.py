@@ -91,6 +91,91 @@ def bake_triangle_attrs(model: GLTFModel) -> np.ndarray:
     return attr
 
 
+def _decision_classes(model: GLTFModel, uv: np.ndarray) -> np.ndarray:
+    """Per-(triangle, tap) PBR material class + emissive flag, encoded as a
+    small int — the decisions the reference takes per texel
+    (GLTFModelPathTracing_FragmentShader.js:434-462).  uv: (T, K, 2)."""
+    T, K = uv.shape[:2]
+    cls = np.zeros((T, K), np.int64)
+
+    def tap(tex):
+        h, w = tex.shape[0], tex.shape[1]
+        xi = np.mod(np.floor(uv[..., 0] * w).astype(np.int64), w)
+        yi = np.mod(np.floor(uv[..., 1] * h).astype(np.int64), h)
+        return np.power(np.maximum(tex[yi, xi], 0.0), 2.2)
+
+    if model.metallic_roughness is not None:
+        mr = tap(np.asarray(model.metallic_roughness))
+        cls = np.where(mr[..., 1] > 0.01, 1, cls)
+        cls = np.where(mr[..., 2] > 0.01, 2, cls)
+    if model.emissive is not None:
+        em = tap(np.asarray(model.emissive))
+        cls = cls + np.where(em.max(-1) > 0.01, 4, 0)
+    return cls
+
+
+def split_mixed_decision_triangles(model: GLTFModel, max_depth: int = 2) -> GLTFModel:
+    """Midpoint-subdivide triangles whose PBR decision maps take DIFFERENT
+    branches within the triangle, until each (sub)triangle is
+    decision-uniform or ``max_depth`` is reached.
+
+    The fused megakernel bakes material DECISIONS per triangle
+    (bake_triangle_attrs) — exact for decision-uniform triangles; this
+    splitting shrinks mixed triangles until the bake matches the
+    reference's per-texel decisions almost everywhere, at a small triangle-
+    count cost.  Geometry is unchanged (exact 4-way splits), so the
+    wavefront image is identical up to FP."""
+    if model.albedo is None or (model.metallic_roughness is None
+                                and model.emissive is None):
+        return model
+
+    fields = ("p0", "p1", "p2", "n0", "n1", "n2", "uv0", "uv1", "uv2")
+    cur = {f: np.asarray(getattr(model, f)) for f in fields}
+    for _ in range(max_depth):
+        uv = np.stack([cur["uv0"], cur["uv1"], cur["uv2"]], axis=1)  # (T,3,2)
+        # decision taps: vertices + edge midpoints + centroid + 3 interior
+        w = np.array([
+            [1, 0, 0], [0, 1, 0], [0, 0, 1],
+            [.5, .5, 0], [0, .5, .5], [.5, 0, .5],
+            [1 / 3, 1 / 3, 1 / 3],
+            [.6, .2, .2], [.2, .6, .2], [.2, .2, .6],
+        ], np.float64)  # (K, 3)
+        taps = np.einsum("kj,tjc->tkc", w, uv)
+        cls = _decision_classes(model, taps)
+        mixed = (cls != cls[:, :1]).any(axis=1)
+        if not mixed.any():
+            break
+        keep = {f: cur[f][~mixed] for f in fields}
+        a = {f: cur[f][mixed] for f in fields}
+
+        def mid(x, y):
+            return (x + y) * 0.5
+
+        # 4-way midpoint split of each mixed triangle
+        parts = []
+        for (v0, v1, v2) in (
+            ("0", "m01", "m02"), ("m01", "1", "m12"),
+            ("m02", "m12", "2"), ("m01", "m12", "m02"),
+        ):
+            def pick(prefix, which):
+                if which in ("0", "1", "2"):
+                    return a[prefix + which]
+                i, j = which[1], which[2]
+                return mid(a[prefix + i], a[prefix + j])
+
+            parts.append({
+                "p0": pick("p", v0), "p1": pick("p", v1), "p2": pick("p", v2),
+                "n0": pick("n", v0), "n1": pick("n", v1), "n2": pick("n", v2),
+                "uv0": pick("uv", v0), "uv1": pick("uv", v1), "uv2": pick("uv", v2),
+            })
+        cur = {
+            f: np.concatenate([keep[f]] + [p[f] for p in parts]).astype(np.float32)
+            for f in fields
+        }
+        model = model._replace(**cur)
+    return model._replace(**{f: cur[f] for f in fields})
+
+
 def _bake_vertex_normal_map(model: GLTFModel) -> tuple:
     """Per-VERTEX normal-map bake for the fused megakernel's dense pack.
 
@@ -132,18 +217,25 @@ def mesh_from_model(
     rotation=(0.0, 0.0, 0.0),
     scale=(1.0, 1.0, 1.0),
     leaf_size: int = 16,
+    split_mixed: int = 2,
 ) -> TriangleMesh:
     """glTF soup → device TriangleMesh with a freshly built BVH.
 
     The transform is the runtime model TransformNode (uGLTF_Model_InvMatrix,
     GLTF_Model_Path_Tracing.js:1216-1217) — the *initial* scale is already
     baked into the vertices by load_gltf, as in the reference's packing.
+
+    ``split_mixed``: midpoint-subdivision depth for triangles whose PBR
+    decision maps are not uniform within the triangle (see
+    split_mixed_decision_triangles); 0 disables.
     """
+    if split_mixed and model.albedo is not None:
+        model = split_mixed_decision_triangles(model, max_depth=split_mixed)
     mn, mx, _ = triangle_aabbs(model.p0, model.p1, model.p2)
     bvh = build_bvh(mn, mx)
     m = trs_matrix(translation=translation, rotation=rotation, scale=scale)
 
-    from bpt_tpu.accel.cluster import pack_clustered, pack_clustered_dense
+    from bpt_tpu.accel.cluster import pack_clustered, pack_clustered_dense_oct
 
     pk = pack_clustered(
         bvh, model.p0, model.p1, model.p2, model.n0, model.n1, model.n2,
@@ -156,7 +248,7 @@ def mesh_from_model(
         fn0, fn1, fn2 = _bake_vertex_normal_map(model)
     else:
         fn0, fn1, fn2 = model.n0, model.n1, model.n2
-    fz = pack_clustered_dense(
+    fz = pack_clustered_dense_oct(
         bvh, model.p0, model.p1, model.p2, fn0, fn1, fn2,
         model.uv0, model.uv1, model.uv2, leaf_size=leaf_size,
         tri_attr=tri_attr,
@@ -177,6 +269,7 @@ def mesh_from_model(
         pk_order=jnp.asarray(pk.tri_order),
         fz_nodes_f=jnp.asarray(fz.nodes_f),
         fz_tris=jnp.asarray(fz.tris),
+        fz_nodes_oct=jnp.asarray(fz.nodes_oct),
         p0=jnp.asarray(model.p0),
         p1=jnp.asarray(model.p1),
         p2=jnp.asarray(model.p2),

@@ -132,6 +132,12 @@ class TriangleMesh(NamedTuple):
     # the scene and the renderer stays on the wavefront path.
     fz_nodes_f: Optional[jnp.ndarray] = None  # (Np, 16) f32: aabb + links
     fz_tris: Optional[jnp.ndarray] = None  # (Rp, 128) f32
+    # Eight near-first escape-link orderings of the same collapsed tree
+    # (accel.cluster.pack_clustered_dense_oct): direction-sorted packets
+    # walk the layout matching their octant so t_best tightens front-to-back
+    # — the occlusion-pruning analog of the reference's nearest-child-first
+    # stack traversal (GLTFModelPathTracing_FragmentShader.js:254-284).
+    fz_nodes_oct: Optional[jnp.ndarray] = None  # (8*Np, 16) f32
     # Quad-packed (H, W, 12) twins of the PBR maps (textures.quad_pack):
     # one gather per bilinear sample instead of four — the sampling paths
     # prefer these when present (results are bit-equal).

@@ -435,6 +435,33 @@ def test_staged_reorder_matches_monolithic_hdri_env_nee():
     np.testing.assert_array_equal(np.asarray(mono.color), np.asarray(stag.color))
 
 
+def test_multi_frame_pool_matches_single_frames():
+    """trace_frames_pallas fuses F progressive frames into one sorted lane
+    pool; each frame's result must equal its single-frame render exactly
+    (per-lane math keyed by (frame, pixel), scatter by carried identity)."""
+    from bpt_tpu.kernels.megakernel import trace_frames_pallas
+    from bpt_tpu.scenes.gltf_scene import gltf_camera, gltf_scene
+
+    scene = gltf_scene(_textured_mesh((0.0, 0.3, 0.8)))
+    cfg = IntegratorConfig(bounces=3, metal_roughness_lobe=True)
+    cam = gltf_camera()
+    h, w = 32, 128
+    fcs = [2.0, 3.0]
+    rvs = [[0.3, 0.7], [0.6, 0.1]]
+    multi = trace_frames_pallas(scene, cam, cfg, w, h, fcs, rvs, BN,
+                                tile_rows=32, tile_cols=128, interpret=True)
+    for i, (fc, rv) in enumerate(zip(fcs, rvs)):
+        single = trace_image_pallas(scene, cam, cfg, w, h, fc,
+                                    jnp.asarray(rv, jnp.float32), BN,
+                                    tile_rows=32, tile_cols=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(multi.color[i]),
+                                      np.asarray(single.color))
+        np.testing.assert_array_equal(np.asarray(multi.object_id[i]),
+                                      np.asarray(single.object_id))
+        np.testing.assert_array_equal(np.asarray(multi.pixel_sharpness[i]),
+                                      np.asarray(single.pixel_sharpness))
+
+
 def test_fused_pack_bakes_vertex_normal_map():
     """The fused dense pack's vertex normals carry the normal-map bake:
     fused first-hit normals move with the map while the wavefront applies

@@ -72,6 +72,79 @@ def test_sharded_gradient_psum(setup):
     np.testing.assert_allclose(g8, g1, rtol=1e-5)
 
 
+def test_pallas_megakernel_under_shard_map():
+    """The fused Pallas path (staged sorted-wavefront, interpret mode) runs
+    under shard_map on a 4-device row-sharded mesh and reproduces the
+    unsharded fused render exactly — per-lane math is keyed by the absolute
+    (frame, pixel) identity carried in the state, so row sharding (like any
+    other lane regrouping) cannot change any lane's result."""
+    from jax.sharding import PartitionSpec as P
+
+    from bpt_tpu.integrator.radiance import RadianceResult
+    from bpt_tpu.kernels.megakernel import trace_frames_pallas, trace_image_pallas
+    from test_kernels import _textured_mesh
+    from bpt_tpu.scenes.gltf_scene import gltf_camera, gltf_scene
+
+    scene = gltf_scene(_textured_mesh((0.0, 0.3, 0.8)))
+    cfg = IntegratorConfig(bounces=2, metal_roughness_lobe=True)
+    cam = gltf_camera()
+    h, w = 32, 128
+    ref = trace_image_pallas(scene, cam, cfg, w, h, 2.0, RV, BN,
+                             tile_rows=32, tile_cols=128, interpret=True)
+    n = 4
+    mesh = make_mesh(jax.devices()[:n])
+    tile_rows = h // n
+
+    def tile_fn(scene, camera, rv, bnt):
+        row0 = jax.lax.axis_index("tiles") * tile_rows
+        r = trace_frames_pallas(
+            scene, camera, cfg, w, tile_rows, jnp.asarray([2.0]), rv[None],
+            bnt, tile_rows=8, tile_cols=128, interpret=True,
+            full_height=h, row_offset=row0,
+        )
+        return jax.tree.map(lambda x: x[0], r)  # squeeze the F=1 axis
+
+    fn = jax.jit(jax.shard_map(
+        tile_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=RadianceResult(
+            color=P("tiles"), object_normal=P("tiles"),
+            object_color=P("tiles"), object_id=P("tiles"),
+            pixel_sharpness=P("tiles"),
+        ),
+        check_vma=False,
+    ))
+    out = fn(scene, cam, RV, BN)
+    # same draws, same per-lane math; only jit-vs-eager fusion noise in the
+    # texel composition differs (observed max ~1e-5, same as the wavefront
+    # sharded test)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.object_id),
+                                  np.asarray(ref.object_id))
+
+
+def test_staged_hbm_stream_matches_monolithic():
+    """The staged path's in-kernel HBM leaf streaming (double-buffered DMA,
+    interpret mode) returns the same image as the VMEM-resident monolithic
+    walk — the reference-capacity mechanism, exercised at test scale via
+    the mesh_stream override."""
+    from bpt_tpu.kernels.megakernel import trace_frames_pallas, trace_image_pallas
+    from test_kernels import _textured_mesh
+    from bpt_tpu.scenes.gltf_scene import gltf_camera, gltf_scene
+
+    scene = gltf_scene(_textured_mesh((0.0, 0.3, 0.8)))
+    cfg = IntegratorConfig(bounces=2, metal_roughness_lobe=True)
+    cam = gltf_camera()
+    h, w = 32, 128
+    ref = trace_image_pallas(scene, cam, cfg, w, h, 2.0, RV, BN,
+                             tile_rows=32, tile_cols=128, interpret=True)
+    out = trace_frames_pallas(scene, cam, cfg, w, h, jnp.asarray([2.0]),
+                              RV[None], BN, tile_rows=32, tile_cols=128,
+                              interpret=True, mesh_stream=True)
+    np.testing.assert_array_equal(np.asarray(out.color[0]), np.asarray(ref.color))
+
+
 def test_sharded_denoiser_halo_exchange(setup):
     """screen_output (5x5 + 3x3 stencils) under jit with a row-sharding
     constraint equals the unsharded result exactly — proves XLA's SPMD
