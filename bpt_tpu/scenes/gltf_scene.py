@@ -53,9 +53,11 @@ def bake_triangle_attrs(model: GLTFModel) -> np.ndarray:
     (GLTFModelPathTracing_FragmentShader.js:434-462).  The TPU fused kernel
     cannot gather per-lane texels mid-loop (Mosaic has no general gather),
     so the *decisions* are baked per triangle here — sampled at the three
-    vertex UVs + the centroid, sRGB-decoded (pow 2.2) and averaged, then
-    thresholded exactly like the shader — while the continuous albedo /
-    emissive *values* stay texel-exact via the kernel's deferred UV planes.
+    vertex UVs + the centroid, sRGB-decoded (pow 2.2), classified per tap
+    with the shader's thresholds, and decided by tap MAJORITY — while the
+    continuous albedo / emissive *values* stay texel-exact via the kernel's
+    deferred UV planes.  Triangles whose taps disagree can be subdivided
+    until decision-uniform (split_mixed_decision_triangles).
 
     Returns (T, 4) float32: [mat_class (DIFFUSE/METAL/CLEARCOAT ids),
     roughness (decoded G mean, drives the metal lobe), emissive_flag,
@@ -70,24 +72,32 @@ def bake_triangle_attrs(model: GLTFModel) -> np.ndarray:
     taps = [model.uv0, model.uv1, model.uv2,
             (model.uv0 + model.uv1 + model.uv2) / 3.0]
 
-    def sample_mean(tex):
+    def sample(tex):
+        """(T, K, C) decoded texels at the taps."""
         h, w = tex.shape[0], tex.shape[1]
-        acc = np.zeros((T, tex.shape[2]), np.float64)
+        out = []
         for uv in taps:
             xi = np.mod(np.floor(uv[:, 0] * w).astype(np.int64), w)
             yi = np.mod(np.floor(uv[:, 1] * h).astype(np.int64), h)
-            acc += np.power(np.maximum(tex[yi, xi], 0.0), 2.2)
-        return (acc / len(taps)).astype(np.float32)
+            out.append(np.power(np.maximum(tex[yi, xi], 0.0), 2.2))
+        return np.stack(out, axis=1)
 
     attr[:, 0] = float(_DIFF)
     if model.metallic_roughness is not None:
-        mr = sample_mean(np.asarray(model.metallic_roughness))
-        attr[:, 0] = np.where(mr[:, 1] > 0.01, float(_COAT), attr[:, 0])
-        attr[:, 0] = np.where(mr[:, 2] > 0.01, float(_METAL), attr[:, 0])
-        attr[:, 1] = mr[:, 1]
+        mr = sample(np.asarray(model.metallic_roughness))  # (T, K, C)
+        # MAJORITY of per-tap classes — thresholding the tap MEAN would
+        # classify any triangle touching a metal texel as metal (the mean
+        # of one decoded 0.6 with three 0s still clears 0.01)
+        cls_tap = np.where(mr[..., 1] > 0.01, float(_COAT), float(_DIFF))
+        cls_tap = np.where(mr[..., 2] > 0.01, float(_METAL), cls_tap)
+        for c in (_COAT, _METAL):
+            n = (cls_tap == float(c)).sum(axis=1)
+            attr[:, 0] = np.where(n * 2 > cls_tap.shape[1], float(c), attr[:, 0])
+        attr[:, 1] = mr[..., 1].mean(axis=1).astype(np.float32)
     if model.emissive is not None:
-        em = sample_mean(np.asarray(model.emissive))
-        attr[:, 2] = (em.max(axis=1) > 0.01).astype(np.float32)
+        em = sample(np.asarray(model.emissive))
+        emis_tap = em.max(axis=-1) > 0.01
+        attr[:, 2] = (emis_tap.sum(axis=1) * 2 > emis_tap.shape[1]).astype(np.float32)
     return attr
 
 
@@ -217,7 +227,7 @@ def mesh_from_model(
     rotation=(0.0, 0.0, 0.0),
     scale=(1.0, 1.0, 1.0),
     leaf_size: int = 16,
-    split_mixed: int = 2,
+    split_mixed: int = 0,
 ) -> TriangleMesh:
     """glTF soup → device TriangleMesh with a freshly built BVH.
 
@@ -227,7 +237,12 @@ def mesh_from_model(
 
     ``split_mixed``: midpoint-subdivision depth for triangles whose PBR
     decision maps are not uniform within the triangle (see
-    split_mixed_decision_triangles); 0 disables.
+    split_mixed_decision_triangles); 0 disables.  Off by default: measured
+    on DamagedHelmet @256², depth 2 (15.5K -> 29K tris) moves the fused-vs-
+    wavefront image delta only 3.78% -> 3.76% of pixels (>1e-3) — the
+    residual is dominated by the per-VERTEX normal-map bake, not by
+    per-triangle decisions — while the 2x triangle count costs real walk
+    throughput.  Enable it for assets whose decision maps alias visibly.
     """
     if split_mixed and model.albedo is not None:
         model = split_mixed_decision_triangles(model, max_depth=split_mixed)

@@ -462,6 +462,52 @@ def test_multi_frame_pool_matches_single_frames():
                                       np.asarray(single.pixel_sharpness))
 
 
+def test_split_mixed_decision_triangles():
+    """A half-metal / half-diffuse MR map across two big triangles: the
+    per-triangle decision bake misclassifies half of each triangle, and
+    split_mixed subdivision shrinks the misclassified area — fused output
+    converges toward the wavefront's per-texel decisions, while the
+    wavefront image itself is unchanged (splits are exact)."""
+    from bpt_tpu.io.gltf import GLTFModel
+    from bpt_tpu.scenes.gltf_scene import gltf_camera, gltf_scene, mesh_from_model
+
+    # floor quad; MR map: left half metal, right half plain diffuse
+    p = np.array(
+        [
+            [[-50, -20, -50], [50, -20, 50], [50, -20, -50]],
+            [[-50, -20, -50], [-50, -20, 50], [50, -20, 50]],
+        ],
+        np.float32,
+    )
+    ny = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (2, 3, 1))
+    uvs = np.array([[[0, 0], [1, 1], [1, 0]], [[0, 0], [0, 1], [1, 1]]], np.float32)
+    mr = np.zeros((32, 32, 3), np.float32)
+    mr[:, 16:, 2] = 0.8  # metalness on the right half (u > 0.5)
+    albedo = np.full((8, 8, 3), 0.7, np.float32)
+    model = GLTFModel(p0=p[:, 0], p1=p[:, 1], p2=p[:, 2], n0=ny[:, 0],
+                      n1=ny[:, 1], n2=ny[:, 2], uv0=uvs[:, 0], uv1=uvs[:, 1],
+                      uv2=uvs[:, 2], albedo=albedo, normal_map=None,
+                      metallic_roughness=mr, emissive=None)
+    from bpt_tpu.camera import Camera
+
+    cam = Camera.look(position=(0.0, 30.0, 0.0), pitch=1.5707, fov=0.5)
+    cfg = IntegratorConfig(bounces=2, metal_roughness_lobe=True)
+    h, w = 32, 128
+
+    def mismatch(depth):
+        scene = gltf_scene(mesh_from_model(model, mat_type=1, split_mixed=depth))
+        ref = trace_image(scene, cam, cfg, w, h, 2.0, RV, BN)
+        out = trace_image_pallas(scene, cam, cfg, w, h, 2.0, RV, BN,
+                                 tile_rows=32, tile_cols=128, interpret=True)
+        d = np.abs(np.asarray(ref.color) - np.asarray(out.color)).max(-1)
+        return float((d > 1e-3).mean())
+
+    m0 = mismatch(0)
+    m4 = mismatch(4)
+    assert m0 > 0.05, f"unsplit bake should misclassify visibly, got {m0}"
+    assert m4 < m0 / 2.5, f"subdivision must shrink the mismatch: {m0} -> {m4}"
+
+
 def test_fused_pack_bakes_vertex_normal_map():
     """The fused dense pack's vertex normals carry the normal-map bake:
     fused first-hit normals move with the map while the wavefront applies
