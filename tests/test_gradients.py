@@ -182,6 +182,87 @@ def test_transform_gradient_interior_pixels_match_fd_exactly():
     assert np.abs(ad[interior]).max() > 1e-4
 
 
+def test_silhouette_aware_transform_gradient_matches_fd():
+    """SURVEY §7 hard part #2 (stretch): interior AD + the edge-sampled
+    silhouette boundary term (diff/silhouette.py) reproduces the FULL
+    matched-RNG finite difference of d(mean image)/d(sphere x) — not just
+    its sign — and the boundary term is what closes the gap."""
+    from bpt_tpu.core.rng import blue_noise_table
+    from bpt_tpu.diff.silhouette import sphere_silhouette_gradient
+    from bpt_tpu.integrator.frame import trace_image
+    from bpt_tpu.utils.transforms import invert_rigid, trs_matrix
+
+    cfg = IntegratorConfig(bounces=2)
+    res = 64
+    bn = jnp.asarray(blue_noise_table())
+    rv = jnp.asarray([0.3, 0.7], jnp.float32)
+    cam = Camera.look(position=(0.0, -20.0, -120.0), fov=0.8, focus_distance=113.0)
+    base = cornell_scene()
+    sr = 16.0
+
+    def scene_of(x):
+        m = trs_matrix(translation=(x, -33.9, -10.0), scale=(sr, sr, sr))
+        spheres = base.spheres._replace(
+            inv_matrix=base.spheres.inv_matrix.at[0].set(invert_rigid(m))
+        )
+        return base._replace(spheres=spheres)
+
+    x0 = jnp.asarray(-22.5)
+    center_fn = lambda x: (jnp.stack([x, jnp.asarray(-33.9), jnp.asarray(-10.0)]), sr)
+
+    # Loss window: the band of the silhouette the sphere COVERS as it moves
+    # +x — isolates the direct visibility edge this estimator models.  (The
+    # contact-shadow edge on the floor and the symmetric uncovering edge are
+    # other boundary families; the symmetric window makes the integral a
+    # difference-of-differences that grazing-shading bias dominates.)
+    from bpt_tpu.diff.silhouette import _project
+
+    c_pix = np.asarray(_project(cam, center_fn(x0)[0][None], res, res))[0]
+    r_pix = abs(float(np.asarray(_project(
+        cam, (center_fn(x0)[0] + jnp.asarray([sr, 0.0, 0.0]))[None], res, res
+    ))[0][0] - c_pix[0]))
+    yy, xx = np.mgrid[0:res, 0:res]
+    dist = np.hypot(xx + 0.5 - c_pix[0], yy + 0.5 - c_pix[1])
+    mask = ((np.abs(dist - r_pix) < 3.5)
+            & (xx + 0.5 > c_pix[0] + 3)
+            & (np.abs(yy + 0.5 - c_pix[1]) < r_pix * 0.7)).astype(np.float32)
+    w_norm = 1.0 / (mask.sum() * 3.0)
+    mask_j = jnp.asarray(mask)[..., None]
+
+    def loss(x):
+        img = trace_image(scene_of(x), cam, cfg, res, res, 2.0, rv, bn).color
+        return jnp.sum(mask_j * img) * w_norm
+
+    h = 2.0
+    g_fd = (float(loss(x0 + h)) - float(loss(x0 - h))) / (2 * h)
+    _, g_int = jax.jvp(loss, (x0,), (jnp.ones(()),))
+    g_int = float(g_int)
+
+    def weight_fn(pix):
+        w = jnp.where((pix[..., 0] > c_pix[0] + 3)
+                      & (jnp.abs(pix[..., 1] - c_pix[1]) < r_pix * 0.7),
+                      w_norm, 0.0)
+        return jnp.broadcast_to(w[..., None], w.shape + (3,))
+
+    # eps_px matched to the FD probe's swept band (h * image velocity
+    # ~0.69 px/unit): the FD oracle measures the band AVERAGE of the
+    # visibility jump, so the edge radiances sample the same band
+    g_bnd = float(sphere_silhouette_gradient(
+        scene_of, x0, center_fn, cam, cfg, res, res,
+        weight_fn=weight_fn,
+        frame_counter=2.0, rand_vec2=rv, blue_noise=bn,
+        n_paths=24, eps_px=1.4,
+    ))
+    g_full = g_int + g_bnd
+    assert abs(g_fd) > 1e-6
+    # interior AD alone misses nearly all of this window's gradient (the
+    # round-3 sign-only situation); the boundary term must close >70% of
+    # the gap...
+    assert abs(g_full - g_fd) < 0.3 * abs(g_int - g_fd), (g_int, g_bnd, g_fd)
+    # ...and the combined gradient matches FD to MC/discretization noise
+    assert abs(g_full - g_fd) < 0.3 * abs(g_fd), (g_int, g_bnd, g_fd)
+
+
 @pytest.mark.parametrize("name,scale,flip", [
     ("Duck.gltf", 10.0, False),
     ("StanfordBunny.glb", 0.05, True),
