@@ -2612,6 +2612,12 @@ def trace_frames_pallas(
         planes = jax.lax.dynamic_slice_in_dim(planes, row_offset, height, axis=1)
         stacks.append(planes)
     bn_stack = jnp.stack(stacks, axis=1)  # (C, F, H, W)
+    if scene.mesh is not None:
+        # mesh scenes carry BVH tables + the (S, tile, 256) state stacks in
+        # VMEM: 16-row tiles leave headroom (32-row tiles OOM at ~17 MB with
+        # the octant node layouts) and measure FASTER on the divergent
+        # meshes (helmet 7.2 vs 6.4 Mrays/s)
+        tile_rows = min(tile_rows, 16)
     tile_rows = min(tile_rows, F * height)
     tile_cols = min(tile_cols, width)
     if fast_quads is None:
