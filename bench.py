@@ -205,19 +205,14 @@ def bench_capacity(args):
     fast_quads = _all_parallelograms(scene.quads)
 
     def k_frames(s, frame0):
-        def body(acc, fc):
-            r = trace_image_pallas(s, cam, cfg, w, h, fc, rv, bn,
-                                   tile_rows=args.tile_rows,
-                                   tile_cols=args.tile_cols,
-                                   fast_quads=fast_quads, reorder=True,
-                                   mesh_sub_rows=args.sub_rows)
-            return acc + r.color, None
+        from bpt_tpu.kernels.megakernel import trace_frames_pallas
 
-        out, _ = jax.lax.scan(
-            body, jnp.zeros((h, w, 3), jnp.float32),
-            frame0 + jnp.arange(0.0, args.frames),
-        )
-        return out
+        fcs = frame0 + jnp.arange(0.0, args.frames)
+        r = trace_frames_pallas(
+            s, cam, cfg, w, h, fcs, jnp.tile(rv, (args.frames, 1)), bn,
+            tile_rows=args.tile_rows, tile_cols=args.tile_cols,
+            fast_quads=fast_quads, mesh_sub_rows=args.sub_rows)
+        return jnp.sum(r.color, axis=0)
 
     step = jax.jit(k_frames)
     jax.block_until_ready(step(scene, jnp.asarray(2.0, jnp.float32)))
