@@ -27,6 +27,10 @@ def attach_pallas_path(renderer: ProgressiveRenderer, tile_rows: int = 32, tile_
     between bounces — the fast path for divergent mesh scenes), then the
     accumulation protocol replays the K per-frame results in order, so the
     render is identical to K single steps."""
+    # a previous attach with reorder=True installed an instance-level
+    # _get_scan override; clear it so a re-attach with reorder=False does
+    # not keep serving the stale staged scan (advisor r4 finding)
+    renderer.__dict__.pop("_get_scan", None)
     cfg = renderer.cfg
     height, width = renderer.height, renderer.width
     tile_rows = min(tile_rows, height)
@@ -42,11 +46,14 @@ def attach_pallas_path(renderer: ProgressiveRenderer, tile_rows: int = 32, tile_
     # later swaps in a scene whose quads are NOT parallelograms, the fast
     # path would silently return wrong quad hits — re-validate whenever a
     # different quad object shows up (advisor r3 finding)
-    _seen_quads = {id(renderer.scene.quads)}
+    # keyed by id() AND holding the object: a bare id() can be reused by
+    # CPython after the original quads is collected, silently skipping the
+    # re-validation this guard exists for (advisor r4 finding)
+    _seen_quads = {id(renderer.scene.quads): renderer.scene.quads}
 
     def _scene_guard(scene):
         key = id(scene.quads)
-        if key in _seen_quads:
+        if _seen_quads.get(key) is scene.quads:
             return
         if fast_quads and not _all_parallelograms(scene.quads):
             raise ValueError(
@@ -54,7 +61,7 @@ def attach_pallas_path(renderer: ProgressiveRenderer, tile_rows: int = 32, tile_
                 "for the attach-time scene, but this scene's quads are not "
                 "parallelograms — re-attach the Pallas path for this scene"
             )
-        _seen_quads.add(key)
+        _seen_quads[key] = scene.quads
 
     def step_state_pallas(scene, camera, _cfg, state, camera_is_moving, rand_vec2, blue_noise):
         moving = jnp.asarray(camera_is_moving, bool)

@@ -2147,6 +2147,16 @@ def _pallas_forward_staged(packs, cam, scalars, bn_planes, state, pix, cfg,
         bounce_lo=bounce_lo, bounce_hi=bounce_hi, staged=True,
         mesh_stream=mesh_stream, mesh_oct=mesh_oct,
     )
+    # a non-divisible lane pool would silently leave trailing rows untraced
+    # AND feed their uninitialized (px, py, fslot) identity planes into the
+    # final group-8 scatter — garbage indices overwriting valid pixels
+    # (advisor r4 finding); fail loudly instead
+    if rows % tile_rows or wcols % tile_cols:
+        raise ValueError(
+            f"staged lane pool ({rows}, {wcols}) is not divisible by the "
+            f"({tile_rows}, {tile_cols}) tile — pick tile sizes dividing "
+            "frames*height and min(width, 256)"
+        )
     grid = (rows // tile_rows, wcols // tile_cols)
     out_shape = [jax.ShapeDtypeStruct((S, rows, wcols), jnp.float32)]
     out_specs = [pl.BlockSpec((S, tile_rows, tile_cols), lambda i, j: (0, i, j),
@@ -2329,6 +2339,10 @@ def _trace_staged(packs, cam, scalars, bn_stack, frames, cfg, height, width,
     pix = to_lanes(pix)
     nb = to_lanes(bn_stack)
 
+    # clamp BEFORE capturing kw so every phase's pallas grid sees the
+    # clamped tile (advisor r4: a post-capture clamp only reached phase 0's
+    # sub_rows default)
+    tile_rows = min(tile_rows, rows_total)
     kw = dict(cfg=cfg, img_height=img_height or height, img_width=width,
               tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
               fast_quads=fast_quads, mesh_textured=mesh_textured,
@@ -2336,7 +2350,6 @@ def _trace_staged(packs, cam, scalars, bn_stack, frames, cfg, height, width,
     bounds = [0] + list(splits) + [cfg.bounces]
     # primary packets are camera-coherent (and bundle F frames of the same
     # pixel block): default to one whole-tile shared cursor
-    tile_rows = min(tile_rows, rows_total)
     sr0 = tile_rows if sub_rows_primary is None else sub_rows_primary
     state = _pallas_forward_staged(packs, cam, scalars, nb, None, pix,
                                    bounce_lo=0, bounce_hi=bounds[1],
