@@ -119,7 +119,121 @@ def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray, use_native: str = "aut
     return BuiltBVH(node_tri, node_right, node_min, node_max, max_depth)
 
 
-def _build_bvh_native(aabb_min: np.ndarray, aabb_max: np.ndarray):
+_SAH_BINS = 16
+
+
+def build_bvh_sah(aabb_min: np.ndarray, aabb_max: np.ndarray, use_native: str = "auto") -> BuiltBVH:
+    """Binned surface-area-heuristic build; same flat BuiltBVH layout as
+    build_bvh (preorder, left child = i + 1, one triangle per leaf).
+
+    The reference's spatial-median split (BVH_Fast_Builder.js:95-237,
+    mirrored by build_bvh) is cheap but produces heavily-overlapping
+    siblings on organic meshes; the packet walker's cost is the PACKET'S
+    subtree union, so overlap multiplies node visits for every lane.
+    Binned SAH (16 bins x 3 axes, min N_L*A_L + N_R*A_R over candidate
+    planes) is the standard fix — it typically cuts packet node visits
+    2-4x on meshes like DamagedHelmet.  Kept separate from build_bvh so
+    the median builder remains the reference-parity twin.
+
+    Determinism contract (shared with the native C++ twin, tested
+    bit-identical in tests/test_native.py): centroids and bin indices in
+    float32, sweep costs in float64, ties broken toward the lower axis
+    then lower bin, stable partition."""
+    t_count = aabb_min.shape[0]
+    assert t_count >= 1
+    if use_native != "never":
+        built = _build_bvh_native_sah(aabb_min, aabb_max)
+        if built is not None:
+            return built
+        if use_native == "require":
+            raise RuntimeError("native SAH builder unavailable")
+    aabb_min = np.asarray(aabb_min, np.float32)
+    aabb_max = np.asarray(aabb_max, np.float32)
+    centroid = ((aabb_min + aabb_max) * np.float32(0.5)).astype(np.float32)
+    n_nodes = 2 * t_count - 1
+    node_tri = np.full(n_nodes, -1, np.int32)
+    node_right = np.full(n_nodes, -1, np.int32)
+    node_min = np.zeros((n_nodes, 3), np.float32)
+    node_max = np.zeros((n_nodes, 3), np.float32)
+    K = _SAH_BINS
+
+    next_id = 0
+    max_depth = 0
+    stack = [(np.arange(t_count, dtype=np.int64), -1, True, 0)]
+    while stack:
+        ids, parent, is_left, depth = stack.pop()
+        my_id = next_id
+        next_id += 1
+        max_depth = max(max_depth, depth)
+        if parent >= 0 and not is_left:
+            node_right[parent] = my_id
+
+        bmn = aabb_min[ids]
+        bmx = aabb_max[ids]
+        node_min[my_id] = bmn.min(axis=0)
+        node_max[my_id] = bmx.max(axis=0)
+
+        n = ids.shape[0]
+        if n == 1:
+            node_tri[my_id] = ids[0]
+            continue
+
+        c = centroid[ids]
+        cmn = c.min(axis=0)
+        cmx = c.max(axis=0)
+        best_cost = np.inf
+        best_sel = None
+        for axis in range(3):
+            cext = np.float32(cmx[axis] - cmn[axis])
+            if not (cext > 0):
+                continue
+            # float32 bin index, exactly as the C++ twin computes it
+            scale = np.float32(np.float32(K) * np.float32(1.0 - 1e-6) / cext)
+            b = np.minimum(
+                ((c[:, axis] - cmn[axis]).astype(np.float32) * scale).astype(np.int32),
+                K - 1,
+            )
+            counts = np.bincount(b, minlength=K)
+            # per-bin bbox of triangle AABBs
+            binmn = np.full((K, 3), np.inf, np.float32)
+            binmx = np.full((K, 3), -np.inf, np.float32)
+            np.minimum.at(binmn, b, bmn)
+            np.maximum.at(binmx, b, bmx)
+            # prefix (left) / suffix (right) sweeps in float64
+            lmn = np.minimum.accumulate(binmn, axis=0)
+            lmx = np.maximum.accumulate(binmx, axis=0)
+            rmn = np.minimum.accumulate(binmn[::-1], axis=0)[::-1]
+            rmx = np.maximum.accumulate(binmx[::-1], axis=0)[::-1]
+            lcnt = np.cumsum(counts)
+
+            def _area(mn, mx):
+                d = np.maximum((mx - mn).astype(np.float64), 0.0)
+                return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+            la = _area(lmn[:-1], lmx[:-1])  # split after bin i (i = 0..K-2)
+            ra = _area(rmn[1:], rmx[1:])
+            nl = lcnt[:-1].astype(np.float64)
+            nr = np.float64(n) - nl
+            cost = np.where((nl > 0) & (nr > 0), nl * la + nr * ra, np.inf)
+            i = int(np.argmin(cost))  # lowest bin on ties (argmin is first)
+            if cost[i] < best_cost:  # strict: lowest axis wins ties
+                best_cost = cost[i]
+                best_sel = b <= i
+        if best_sel is None or not (0 < int(best_sel.sum()) < n):
+            # degenerate centroids: alternate even/odd assignment
+            best_sel = np.zeros(n, bool)
+            best_sel[::2] = True
+
+        left_ids = ids[best_sel]
+        right_ids = ids[~best_sel]
+        stack.append((right_ids, my_id, False, depth + 1))
+        stack.append((left_ids, my_id, True, depth + 1))
+
+    assert next_id == n_nodes
+    return BuiltBVH(node_tri, node_right, node_min, node_max, max_depth)
+
+
+def _build_bvh_native(aabb_min: np.ndarray, aabb_max: np.ndarray, fn_name: str = "bvh_build"):
     """C++ builder via ctypes; None when the library can't be loaded."""
     import ctypes
 
@@ -127,6 +241,9 @@ def _build_bvh_native(aabb_min: np.ndarray, aabb_max: np.ndarray):
 
     lib = load()
     if lib is None:
+        return None
+    fn = getattr(lib, fn_name, None)
+    if fn is None:
         return None
     t_count = aabb_min.shape[0]
     n_nodes = 2 * t_count - 1
@@ -140,7 +257,7 @@ def _build_bvh_native(aabb_min: np.ndarray, aabb_max: np.ndarray):
 
     fp = ctypes.POINTER(ctypes.c_float)
     ip = ctypes.POINTER(ctypes.c_int32)
-    rc = lib.bvh_build(
+    rc = fn(
         mn.ctypes.data_as(fp),
         mx.ctypes.data_as(fp),
         ctypes.c_int64(t_count),
@@ -153,3 +270,7 @@ def _build_bvh_native(aabb_min: np.ndarray, aabb_max: np.ndarray):
     if rc != 0:
         return None
     return BuiltBVH(node_tri, node_right, node_min, node_max, int(max_depth[0]))
+
+
+def _build_bvh_native_sah(aabb_min: np.ndarray, aabb_max: np.ndarray):
+    return _build_bvh_native(aabb_min, aabb_max, fn_name="bvh_build_sah")

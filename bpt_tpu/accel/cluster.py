@@ -291,6 +291,243 @@ def pack_clustered_dense(
     return DenseClusteredBVH(nodes_f, rows, order, n_nodes, n_rows)
 
 
+class Bvh4OctBVH(NamedTuple):
+    """4-ary escape-linked BVH with inlined leaf children, plus the eight
+    octant near-first layouts — the round-5 walk format.
+
+    The binary escape walk spends one ~20 ns scalar step per node visited:
+    one row load, ONE slab test, one any-reduce.  Collapsing to BVH4 packs
+    FOUR child AABBs into one 32-float record, so each step makes a 4-way
+    decision (4 slab tests amortize the same row load / step overhead), and
+    leaf children are inlined in the parent record (meta < 0 encodes
+    row_start*32 + row_count), so a leaf costs NO node visit at all — its
+    triangle rows are processed at the parent's step.  Node count drops to
+    the INNER nodes of the 4-ary tree (~1/6 of the padded binary table).
+
+    Record layout, (Np4, 32) f32 per ordering:
+      [ 0..23]  4x child AABB (min.xyz, max.xyz); absent children get the
+                never-hit box (min=+1e30, max=-1e30)
+      [24..27]  child meta: >= 0 -> inner child's record id;
+                < 0 -> inlined leaf, -(row_start * 32 + row_count)
+      [28]      escape (next record after this subtree)
+      [29..31]  pad (0)
+    All links are float-encoded (exact < 2^24, checked).  Children sit in
+    near-first order per octant layout; the shared triangle rows equal
+    pack_clustered_dense_oct's byte-for-byte."""
+
+    nodes_f: np.ndarray  # (Np4, 32) preorder layout
+    nodes_oct: np.ndarray  # (8 * Np4, 32) near-first per octant
+    tris: np.ndarray  # (Rp, 128) shared dense rows
+    tri_order: np.ndarray  # (Rp*4,) packed slot -> original tri id
+    n_nodes: int  # Np4 (padded, per layout)
+    n_rows: int
+
+
+def _collapse_binary(bvh: BuiltBVH, leaf_size: int):
+    """Collapse the flat 1-tri-leaf binary BVH into the clustered binary
+    tree + shared dense triangle row table (the common prefix of
+    pack_clustered_dense_oct and pack_bvh4_oct; identical tri ordering)."""
+    node_tri = np.asarray(bvh.node_tri)
+    node_right = np.asarray(bvh.node_right)
+    node_min = np.asarray(bvh.node_min)
+    node_max = np.asarray(bvh.node_max)
+    n = len(node_tri)
+    count = np.zeros(n, np.int64)
+    for i in range(n - 1, -1, -1):
+        if node_tri[i] >= 0:
+            count[i] = 1
+        else:
+            count[i] = count[i + 1] + count[node_right[i]]
+
+    def leaves_of(i: int) -> list:
+        ids, st = [], [i]
+        while st:
+            j = st.pop()
+            if node_tri[j] >= 0:
+                ids.append(int(node_tri[j]))
+            else:
+                st.append(int(node_right[j]))
+                st.append(j + 1)
+        return ids
+
+    cmin, cmax, cleft, cright, ctri = [], [], [], [], []
+    tri_order_raw: list = []
+    stack = [(0, -1, 0)]
+    while stack:
+        x, parent, slot = stack.pop()
+        cid = len(cmin)
+        cmin.append(node_min[x])
+        cmax.append(node_max[x])
+        cleft.append(-1)
+        cright.append(-1)
+        ctri.append((0, 0))
+        if parent >= 0:
+            if slot == 0:
+                cleft[parent] = cid
+            else:
+                cright[parent] = cid
+        if node_tri[x] >= 0 or count[x] <= leaf_size:
+            ids = leaves_of(x)
+            ctri[cid] = (len(tri_order_raw), len(ids))
+            tri_order_raw.extend(ids)
+        else:
+            stack.append((int(node_right[x]), cid, 1))
+            stack.append((x + 1, cid, 0))
+    n_nodes = len(cmin)
+
+    slots: list = []
+    row_of = {}
+    for cid in range(n_nodes):
+        s, c = ctri[cid]
+        if cleft[cid] < 0:
+            row_of[cid] = (len(slots) // 4, (c + 3) // 4)
+            slots.extend(int(t) for t in tri_order_raw[s:s + c])
+            slots.extend([-1] * (-c % 4))
+    n_rows = len(slots) // 4
+    return cmin, cmax, cleft, cright, row_of, slots, n_rows
+
+
+def _pack_rows(slots, n_rows, p0, p1, p2, n0, n1, n2, uv0, uv1, uv2, tri_attr):
+    """Dense (Rp, 128) triangle row table from packed slot ids (shared by
+    all dense packers; over-padded 16 rows for the leaf DMA window)."""
+    rpad = (-n_rows % 8) + 16
+    order = np.asarray(slots + [-1] * (rpad * 4), np.int32)
+    rows = np.zeros((n_rows + rpad, 128), np.float32)
+    rec32 = np.zeros((len(order), 32), np.float32)
+    real = order >= 0
+    o = order[real]
+    rec32[real, 0:3] = p0[o]
+    rec32[real, 3:6] = p1[o]
+    rec32[real, 6:9] = p2[o]
+    rec32[real, 9:12] = n0[o]
+    rec32[real, 12:15] = n1[o]
+    rec32[real, 15:18] = n2[o]
+    rec32[real, 18:20] = uv0[o]
+    rec32[real, 20:22] = uv1[o]
+    rec32[real, 22:24] = uv2[o]
+    if tri_attr is not None:
+        na = tri_attr.shape[1]
+        assert na <= 8, "only 8 free floats per 32-float record"
+        rec32[real, 24:24 + na] = tri_attr[o]
+    rows[:] = rec32.reshape(n_rows + rpad, 128)
+    return rows, order, rpad
+
+
+def pack_bvh4_oct(
+    bvh: BuiltBVH,
+    p0: np.ndarray,
+    p1: np.ndarray,
+    p2: np.ndarray,
+    n0: np.ndarray,
+    n1: np.ndarray,
+    n2: np.ndarray,
+    uv0: np.ndarray,
+    uv1: np.ndarray,
+    uv2: np.ndarray,
+    leaf_size: int = 16,
+    tri_attr: np.ndarray | None = None,
+) -> Bvh4OctBVH:
+    """Collapse + pack into the BVH4 inlined-leaf layout (see Bvh4OctBVH);
+    triangle rows byte-identical to pack_clustered_dense_oct's."""
+    if leaf_size > 64:
+        raise ValueError("leaf_size > 64 exceeds the 16-row leaf DMA window")
+    cmin, cmax, cleft, cright, row_of, slots, n_rows = _collapse_binary(bvh, leaf_size)
+    rows, order, rpad = _pack_rows(
+        slots, n_rows, p0, p1, p2, n0, n1, n2, uv0, uv1, uv2, tri_attr
+    )
+    n_bin = len(cmin)
+    ctr = [(np.asarray(cmin[i]) + np.asarray(cmax[i])) * 0.5 for i in range(n_bin)]
+
+    def kids4(x):
+        """2-4 children of 4-ary node x (binary cids): an inner binary
+        child is expanded into its two children (one collapsed level)."""
+        out = []
+        for c in (cleft[x], cright[x]):
+            if cleft[c] >= 0:
+                out.extend([cleft[c], cright[c]])
+            else:
+                out.append(c)
+        return out
+
+    NEVER = np.array([1e30, 1e30, 1e30, -1e30, -1e30, -1e30], np.float32)
+
+    def emit(sign):
+        """One layout: records for INNER 4-ary nodes only, children sorted
+        near-first along the octant direction (sign = per-axis ray-dir
+        positivity, None = natural order)."""
+        rec = []  # each: np.float32[32]
+        # stack ops: ("v", binary_cid, parent_rec, slot) / ("c", rec_idx)
+        if cleft[0] < 0:
+            # whole mesh fits one clustered leaf: single record with one
+            # inlined leaf child
+            r = np.zeros(32, np.float32)
+            r[0:3] = cmin[0]
+            r[3:6] = cmax[0]
+            r[6:24] = NEVER[0:6].tolist() * 3
+            rs, rc = row_of[0]
+            r[24] = -(rs * 32 + rc)
+            r[25] = r[26] = r[27] = 0.0
+            for k in range(1, 4):
+                r[6 * k:6 * k + 6] = NEVER
+            r[28] = 1.0
+            rec.append(r)
+        else:
+            st = [("v", 0, -1, 0)]
+            while st:
+                op = st.pop()
+                if op[0] == "c":
+                    rec[op[1]][28] = float(len(rec))
+                    continue
+                _, x, prec, slot = op
+                my = len(rec)
+                if prec >= 0:
+                    rec[prec][24 + slot] = float(my)
+                kids = kids4(x)
+                if sign is not None:
+                    d = np.array([1.0 if sign[a] else -1.0 for a in range(3)])
+                    # near-first: ascending signed centroid projection;
+                    # stable with child index as the tiebreak
+                    kids = sorted(kids, key=lambda c, d=d: (float(ctr[c] @ d),))
+                r = np.zeros(32, np.float32)
+                for k in range(4):
+                    if k < len(kids):
+                        r[6 * k:6 * k + 3] = cmin[kids[k]]
+                        r[6 * k + 3:6 * k + 6] = cmax[kids[k]]
+                    else:
+                        r[6 * k:6 * k + 6] = NEVER
+                rec.append(r)
+                st.append(("c", my))
+                # leaf children inline; inner children emit in slot order
+                # (push reversed so the first sorted inner child pops first)
+                inner = []
+                for k, c in enumerate(kids):
+                    if cleft[c] < 0:
+                        rs, rc = row_of[c]
+                        r[24 + k] = -(rs * 32 + rc)
+                    else:
+                        inner.append((c, my, k))
+                for c, pr, k in reversed(inner):
+                    st.append(("v", c, pr, k))
+        n4 = len(rec)
+        npad = -n4 % 8
+        out = np.zeros((n4 + npad, 32), np.float32)
+        out[:n4] = np.stack(rec)
+        # pad rows: inner with never-hit children, escape past the end
+        for k in range(4):
+            out[n4:, 6 * k:6 * k + 6] = NEVER
+        out[n4:, 28] = n4 + npad
+        return out
+
+    pre = emit(None)
+    layouts = [emit((bool(oc & 4), bool(oc & 2), bool(oc & 1))) for oc in range(8)]
+    n4p = pre.shape[0]
+    assert all(l.shape[0] == n4p for l in layouts)
+    if max(n4p, n_rows + rpad, n_rows * 32 + 64) >= 1 << 24:
+        raise ValueError("mesh too large for the float-linked BVH4 pack")
+    nodes_oct = np.concatenate(layouts, axis=0)
+    return Bvh4OctBVH(pre, nodes_oct, rows, order, n4p, n_rows)
+
+
 def pack_clustered_dense_oct(
     bvh: BuiltBVH,
     p0: np.ndarray,

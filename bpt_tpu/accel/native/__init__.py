@@ -34,8 +34,7 @@ def load() -> Optional[ctypes.CDLL]:
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
                 _compile()
             lib = ctypes.CDLL(_SO)
-            lib.bvh_build.restype = ctypes.c_int
-            lib.bvh_build.argtypes = [
+            argtypes = [
                 ctypes.POINTER(ctypes.c_float),  # aabb_min
                 ctypes.POINTER(ctypes.c_float),  # aabb_max
                 ctypes.c_int64,  # n_tris
@@ -45,6 +44,10 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),  # node_max
                 ctypes.POINTER(ctypes.c_int32),  # max_depth out
             ]
+            lib.bvh_build.restype = ctypes.c_int
+            lib.bvh_build.argtypes = argtypes
+            lib.bvh_build_sah.restype = ctypes.c_int
+            lib.bvh_build_sah.argtypes = argtypes
             _lib = lib
         except Exception:
             _failed = True

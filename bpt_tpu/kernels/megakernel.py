@@ -602,6 +602,135 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
     def cond(c):
         return c[0] < n_nodes_p
 
+    # BVH4 inlined-leaf layout (accel.cluster.Bvh4OctBVH): 32-float records
+    # with FOUR child AABBs — one row load + 4 slab tests make a 4-way
+    # step decision, and leaf children (meta < 0) are processed inline at
+    # the parent's step, so leaves cost no node visit.  Child masks use the
+    # step-entry t_best (a leaf child's hits don't re-prune its later
+    # siblings within the same step — weaker pruning only, never wrong).
+    bvh4 = nodes_f_ref.shape[-1] == 32
+
+    def bvh4_step(i, t_best):
+        """Load record i, slab-test the 4 child boxes -> (per-child any-hit
+        scalars, per-child meta floats, escape)."""
+        nf = nodes_f_ref[pl.ds(i if base is None else base + i, 1), :]
+        ms = []
+        for k in range(4):
+            o = 6 * k
+            tx0 = (nf[0, o + 0] - rox) * invx
+            tx1 = (nf[0, o + 3] - rox) * invx
+            ty0 = (nf[0, o + 1] - roy) * invy
+            ty1 = (nf[0, o + 4] - roy) * invy
+            tz0 = (nf[0, o + 2] - roz) * invz
+            tz1 = (nf[0, o + 5] - roz) * invz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            hit = (jnp.maximum(tmin, 0.0) <= tmax) & (tmin < t_best)
+            if active is not None:
+                hit = hit & active
+            ms.append(jnp.any(hit))
+        meta = [nf[0, 24 + k] for k in range(4)]
+        esc = nf[0, 28].astype(jnp.int32)
+        return ms, meta, esc
+
+    def bvh4_next(ms, meta, esc):
+        # descend into the FIRST hit inner child (children are near-first
+        # ordered per octant layout); later hit inner children are reached
+        # through the sibling escape chain
+        next_i = esc
+        for k in (3, 2, 1, 0):
+            next_i = jnp.where(ms[k] & (meta[k] > 0.0),
+                               meta[k].astype(jnp.int32), next_i)
+        return next_i
+
+    if bvh4 and stream is None:
+        def body(c):
+            i, t_best, nx, ny, nz, us, vs, *attrs = c
+            ms, meta, esc = bvh4_step(i, t_best)
+            st = (t_best, nx, ny, nz, us, vs, *attrs)
+            for k in range(4):
+                enc = (-meta[k]).astype(jnp.int32)
+                row0 = enc // 32
+                nrows = enc - row0 * 32
+
+                def leaf_fn(c2, row0=row0, nrows=nrows):
+                    return tri_rows(
+                        lambda kk: tris_ref[pl.ds(row0 + kk, 1), :], nrows, c2
+                    )
+
+                st = jax.lax.cond(ms[k] & (meta[k] < 0.0), leaf_fn,
+                                  lambda c2: c2, st)
+            t_best, nx, ny, nz, us, vs, *attrs = st
+            return (bvh4_next(ms, meta, esc), t_best, nx, ny, nz, us, vs, *attrs)
+
+        carry = (jnp.int32(0), t_init, zeros, zeros, zeros, zeros, zeros)
+        carry = carry + (zeros,) * n_extra
+        _, t_best, nx, ny, nz, us, vs, *attrs = jax.lax.while_loop(cond, body, carry)
+        return (t_best, nx, ny, nz, us, vs, t_best < t_init, *attrs)
+
+    if bvh4:
+        scratch, sem = stream
+
+        def leaf_dma4(row0, slot):
+            return pltpu.make_async_copy(
+                tris_ref.at[pl.ds(row0, 16), :], scratch.at[slot], sem.at[slot]
+            )
+
+        def body(c):
+            i, pr0, pnr, slot, t_best, nx, ny, nz, us, vs, *attrs = c
+            ms, meta, esc = bvh4_step(i, t_best)
+            st = (t_best, nx, ny, nz, us, vs, *attrs)
+            c2 = (pr0, pnr, slot, st)
+            for k in range(4):
+                enc = (-meta[k]).astype(jnp.int32)
+                row0 = enc // 32
+                nrows = enc - row0 * 32
+
+                def leaf_fn(c3, row0=row0, nrows=nrows):
+                    pr0, pnr, slot, st = c3
+                    # start this leaf's copy, drain the pending one (same
+                    # double-buffer pipeline as the binary walk)
+                    leaf_dma4(row0, 1 - slot).start()
+
+                    def drain(st):
+                        leaf_dma4(pr0, slot).wait()
+                        return tri_rows(
+                            lambda kk: scratch[slot, pl.ds(kk, 1), :], pnr, st
+                        )
+
+                    st = jax.lax.cond(pnr > 0, drain, lambda s: s, st)
+                    return (row0, nrows, 1 - slot, st)
+
+                c2 = jax.lax.cond(ms[k] & (meta[k] < 0.0), leaf_fn,
+                                  lambda c3: c3, c2)
+            pr0, pnr, slot, st = c2
+            t_best, nx, ny, nz, us, vs, *attrs = st
+            return (bvh4_next(ms, meta, esc), pr0, pnr, slot,
+                    t_best, nx, ny, nz, us, vs, *attrs)
+
+        carry = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1),
+                 t_init, zeros, zeros, zeros, zeros, zeros)
+        carry = carry + (zeros,) * n_extra
+        _, pr0, pnr, slot, t_best, nx, ny, nz, us, vs, *attrs = (
+            jax.lax.while_loop(cond, body, carry)
+        )
+
+        def final_drain4(c3):
+            leaf_dma4(pr0, slot).wait()
+            return tri_rows(lambda kk: scratch[slot, pl.ds(kk, 1), :], pnr, c3)
+
+        t_best, nx, ny, nz, us, vs, *attrs = jax.lax.cond(
+            pnr > 0, final_drain4, lambda c3: c3,
+            (t_best, nx, ny, nz, us, vs, *attrs),
+        )
+        return (t_best, nx, ny, nz, us, vs, t_best < t_init, *attrs)
+
     if stream is None:
         def body(c):
             i, t_best, nx, ny, nz, us, vs, *attrs = c

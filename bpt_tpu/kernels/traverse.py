@@ -287,6 +287,65 @@ def _make_hbm_kernel(n_nodes_padded: int):
         def cond(c):
             return c[0] < n_nodes_padded
 
+        # BVH4 inlined-leaf records (accel.cluster.Bvh4OctBVH): 4 child
+        # AABBs per 32-float row; leaf children (meta < 0) DMA + process at
+        # the parent's step through the same double-buffer pipeline
+        bvh4 = nodes_f_ref.shape[-1] == 32
+
+        def body4(c):
+            i, pr0, pnr, slot, t_best, tri_b, nx, ny, nz, us, vs = c
+            nf = nodes_f_ref[pl.ds(i, 1), :]  # (1, 32)
+            ms = []
+            for k in range(4):
+                o = 6 * k
+                tx0 = (nf[0, o + 0] - rox) * invx
+                tx1 = (nf[0, o + 3] - rox) * invx
+                ty0 = (nf[0, o + 1] - roy) * invy
+                ty1 = (nf[0, o + 4] - roy) * invy
+                tz0 = (nf[0, o + 2] - roz) * invz
+                tz1 = (nf[0, o + 5] - roz) * invz
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.minimum(tz0, tz1),
+                )
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.maximum(tz0, tz1),
+                )
+                ms.append(jnp.any(
+                    (jnp.maximum(tmin, 0.0) <= tmax) & (tmin < t_best) & act
+                ))
+            meta = [nf[0, 24 + k] for k in range(4)]
+            esc = nf[0, 28].astype(jnp.int32)
+
+            st = (t_best, tri_b, nx, ny, nz, us, vs)
+            c2 = (pr0, pnr, slot, st)
+            for k in range(4):
+                enc = (-meta[k]).astype(jnp.int32)
+                row0 = enc // 32
+                nrows = enc - row0 * 32
+
+                def leaf_fn(c3, row0=row0, nrows=nrows):
+                    pr0, pnr, slot, st = c3
+                    leaf_dma(row0, 1 - slot).start()
+
+                    def drain(st):
+                        leaf_dma(pr0, slot).wait()
+                        return process_leaf(pr0, pnr, slot, st)
+
+                    st = jax.lax.cond(pnr > 0, drain, lambda s: s, st)
+                    return (row0, nrows, 1 - slot, st)
+
+                c2 = jax.lax.cond(ms[k] & (meta[k] < 0.0), leaf_fn,
+                                  lambda c3: c3, c2)
+            pr0, pnr, slot, st = c2
+            t_best, tri_b, nx, ny, nz, us, vs = st
+            next_i = esc
+            for k in (3, 2, 1, 0):
+                next_i = jnp.where(ms[k] & (meta[k] > 0.0),
+                                   meta[k].astype(jnp.int32), next_i)
+            return (next_i, pr0, pnr, slot, t_best, tri_b, nx, ny, nz, us, vs)
+
         def body(c):
             i, pr0, pnr, slot, t_best, tri_b, nx, ny, nz, us, vs = c
             nf = nodes_f_ref[pl.ds(i, 1), :]  # (1, 16): min max esc row0 nrows
@@ -338,7 +397,7 @@ def _make_hbm_kernel(n_nodes_padded: int):
         carry = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1),
                  t0, tri0, z, z, z, z, z)
         _, pr0, pnr, slot, t_best, tri_b, nx, ny, nz, us, vs = (
-            jax.lax.while_loop(cond, body, carry)
+            jax.lax.while_loop(cond, body4 if bvh4 else body, carry)
         )
 
         # drain the last pending leaf

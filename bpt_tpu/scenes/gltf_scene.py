@@ -228,6 +228,7 @@ def mesh_from_model(
     scale=(1.0, 1.0, 1.0),
     leaf_size: int = 16,
     split_mixed: int = 0,
+    builder: str = "sah",
 ) -> TriangleMesh:
     """glTF soup → device TriangleMesh with a freshly built BVH.
 
@@ -247,10 +248,22 @@ def mesh_from_model(
     if split_mixed and model.albedo is not None:
         model = split_mixed_decision_triangles(model, max_depth=split_mixed)
     mn, mx, _ = triangle_aabbs(model.p0, model.p1, model.p2)
-    bvh = build_bvh(mn, mx)
+    # binned SAH is the perf default: the packet walker pays for the
+    # PACKET'S subtree union, and SAH's low-overlap splits cut its node
+    # visits ~2x on organic meshes vs the reference's spatial-median split
+    # (kept available as builder="median" — the reference-parity twin,
+    # BVH_Fast_Builder.js:95-237)
+    if builder == "sah":
+        from bpt_tpu.accel.builder import build_bvh_sah
+
+        bvh = build_bvh_sah(mn, mx)
+    elif builder == "median":
+        bvh = build_bvh(mn, mx)
+    else:
+        raise ValueError(f"unknown builder {builder!r} (sah|median)")
     m = trs_matrix(translation=translation, rotation=rotation, scale=scale)
 
-    from bpt_tpu.accel.cluster import pack_clustered, pack_clustered_dense_oct
+    from bpt_tpu.accel.cluster import pack_bvh4_oct, pack_clustered
 
     pk = pack_clustered(
         bvh, model.p0, model.p1, model.p2, model.n0, model.n1, model.n2,
@@ -263,7 +276,7 @@ def mesh_from_model(
         fn0, fn1, fn2 = _bake_vertex_normal_map(model)
     else:
         fn0, fn1, fn2 = model.n0, model.n1, model.n2
-    fz = pack_clustered_dense_oct(
+    fz = pack_bvh4_oct(
         bvh, model.p0, model.p1, model.p2, fn0, fn1, fn2,
         model.uv0, model.uv1, model.uv2, leaf_size=leaf_size,
         tri_attr=tri_attr,
