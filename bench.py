@@ -63,7 +63,6 @@ def bench_gltf(args):
         # the gradient parameter is the PBR albedo MAP itself when the model
         # is textured (apps/inverse_rendering.py's parameter), else the
         # mesh-facing sphere color.
-        assert not args.reorder, "reorder mode has no VJP; drop --reorder"
         from bpt_tpu.textures import quad_pack
 
         textured = scene.mesh.albedo is not None
@@ -75,6 +74,21 @@ def bench_gltf(args):
             else:
                 s = scene._replace(spheres=scene.spheres._replace(
                     color=scene.spheres.color.at[1].set(param)))
+
+            if args.reorder:
+                # staged fwd+bwd: all frames in ONE sorted lane pool, with
+                # the path-replay sg planes riding the state permutations
+                from bpt_tpu.kernels.megakernel import trace_frames_pallas
+
+                fcs = frame0 + jnp.arange(0.0, args.frames)
+                r = trace_frames_pallas(
+                    s, cam, cfg, w, h, fcs,
+                    jnp.tile(rv, (args.frames, 1)), bn,
+                    tile_rows=args.tile_rows, tile_cols=args.tile_cols,
+                    fast_quads=fast_quads, mesh_sub_rows=args.sub_rows,
+                    differentiable=True)
+                out = jnp.sum(r.color, axis=0)
+                return jnp.mean(out), out
 
             def body(acc, fc):
                 r = trace_image_pallas(s, cam, cfg, w, h, fc, rv, bn,
@@ -103,9 +117,10 @@ def bench_gltf(args):
         dt = (time.perf_counter() - t0) / args.iters
         rays_per_s = h * w * args.bounces * args.frames / dt
         grad_of = "albedo map" if textured else "sphere color"
+        kind = "staged sorted walk" if args.reorder else "fused megakernel"
         print(json.dumps({
             "metric": f"rays/s/chip fwd+bwd {h}x{w} {args.bounces} bounces "
-                      f"({args.model} glTF, fused megakernel + path-replay "
+                      f"({args.model} glTF, {kind} + path-replay "
                       f"vjp, grad wrt {grad_of})",
             "value": round(rays_per_s, 1),
             "unit": "rays/s",

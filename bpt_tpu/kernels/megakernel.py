@@ -914,7 +914,7 @@ _QUADRIC_INTERSECTORS = (
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _state_layout(cfg: IntegratorConfig, mesh_textured: bool) -> list:
+def _state_layout(cfg: IntegratorConfig, mesh_textured: bool, n_sg: int = 0) -> list:
     """Per-lane state plane order at staged-phase boundaries.
 
     The staged (sorted-wavefront) mode splits the bounce loop into phases
@@ -939,6 +939,12 @@ def _state_layout(cfg: IntegratorConfig, mesh_textured: bool) -> list:
         keys += ["em_r", "em_g", "em_b", "em_u", "em_v"]
         for b in range(cfg.bounces):
             keys += [f"alb_u{b}", f"alb_v{b}"]
+    # staged path-replay VJP: the per-object ∂log-throughput accumulators
+    # (hit counts + Beer sums — see the `sg`/`sgb` comment in _make_kernel)
+    # are per-lane state like everything else; they ride the group-8
+    # permutations and scatter home with the lane identity.
+    for j in range(n_sg):
+        keys.append(f"sg{j}")
     return keys
 
 
@@ -962,9 +968,8 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
     if bounce_hi is None:
         bounce_hi = cfg.bounces
     state_in = staged and bounce_lo > 0
-    layout = _state_layout(cfg, mesh_textured) if staged else None
-    if staged:
-        assert not param_grads, "staged mode has no path-replay VJP (use the monolithic kernel)"
+    n_sg = (n_obj if cfg.transparent_tint else 2 * n_obj) if param_grads else 0
+    layout = _state_layout(cfg, mesh_textured, n_sg if staged else 0) if staged else None
     assert mesh_stream <= staged and mesh_stream <= has_mesh
 
     def kernel(*args):
@@ -1230,12 +1235,21 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
         # the hit object's color *constant* color[j, c], so the per-channel
         # 1/color division is deferred to the host-side backward — the
         # kernel only counts hits (and, for Beer-Lambert, sums 0.01·t).
-        sg = [zeros for _ in range(n_obj)] if param_grads else None
-        sgb = (
-            [zeros for _ in range(n_obj)]
-            if param_grads and not cfg.transparent_tint
-            else None
-        )
+        if param_grads and state_in:
+            # staged resume: accumulators ride the state planes
+            sg = [st_in_ref[layout.index(f"sg{j}")] for j in range(n_obj)]
+            sgb = (
+                [st_in_ref[layout.index(f"sg{n_obj + j}")] for j in range(n_obj)]
+                if not cfg.transparent_tint
+                else None
+            )
+        else:
+            sg = [zeros for _ in range(n_obj)] if param_grads else None
+            sgb = (
+                [zeros for _ in range(n_obj)]
+                if param_grads and not cfg.transparent_tint
+                else None
+            )
 
         for bounce in range(bounce_lo, bounce_hi):
             # ---- scene intersect: all quads + spheres, keep nearest -----
@@ -1974,6 +1988,11 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                             em_u=em_u, em_v=em_v)
                 for b in range(cfg.bounces):
                     vals[f"alb_u{b}"], vals[f"alb_v{b}"] = alb_uv[b]
+            if param_grads:
+                for j in range(n_obj):
+                    vals[f"sg{j}"] = sg[j]
+                    if sgb is not None:
+                        vals[f"sg{n_obj + j}"] = sgb[j]
             for k, name in enumerate(layout):
                 st_out_ref[k] = vals[name]
             return
@@ -2247,12 +2266,13 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "img_height", "img_width", "tile_rows", "tile_cols", "interpret",
     "fast_quads", "mesh_textured", "sub_rows", "bounce_lo", "bounce_hi",
-    "mesh_stream", "mesh_oct"))
+    "mesh_stream", "mesh_oct", "param_grads"))
 def _pallas_forward_staged(packs, cam, scalars, bn_planes, state, pix, cfg,
                            img_height, img_width, tile_rows, tile_cols,
                            interpret=False, fast_quads=False,
                            mesh_textured=False, sub_rows=0, bounce_lo=0,
-                           bounce_hi=None, mesh_stream=False, mesh_oct=False):
+                           bounce_hi=None, mesh_stream=False, mesh_oct=False,
+                           param_grads=False):
     """One staged phase: bounces [bounce_lo, bounce_hi) with per-lane state
     riding an (S, R, W) plane stack.  The lane grid (R, W) is decoupled from
     the image: R = frames * img_height when several progressive frames fuse
@@ -2266,12 +2286,14 @@ def _pallas_forward_staged(packs, cam, scalars, bn_planes, state, pix, cfg,
     n_quadrics = qdr.shape[0] if qdr is not None else 0
     has_mesh = mesh is not None
     n_nodes_p = (mesh[1].shape[0] // (8 if mesh_oct else 1)) if has_mesh else 0
-    layout = _state_layout(cfg, mesh_textured)
+    n_obj = n_quads + n_spheres + n_quadrics
+    n_sg = (n_obj if cfg.transparent_tint else 2 * n_obj) if param_grads else 0
+    layout = _state_layout(cfg, mesh_textured, n_sg)
     S = len(layout)
     rows, wcols = (pix.shape[1:] if state is None else state.shape[1:])
     kernel = _make_kernel(
         cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, img_width,
-        img_height, False, has_mesh=has_mesh, n_nodes_p=n_nodes_p,
+        img_height, param_grads, has_mesh=has_mesh, n_nodes_p=n_nodes_p,
         fast_quads=fast_quads, mesh_textured=mesh_textured, sub_rows=sub_rows,
         bounce_lo=bounce_lo, bounce_hi=bounce_hi, staged=True,
         mesh_stream=mesh_stream, mesh_oct=mesh_oct,
@@ -2405,7 +2427,7 @@ def _trace_staged(packs, cam, scalars, bn_stack, frames, cfg, height, width,
                   tile_rows, tile_cols, interpret, fast_quads, mesh_textured,
                   sub_rows, splits, mesh_stream, reorder_key="oct-morton",
                   sub_rows_primary=None, mesh_oct=False, img_height=None,
-                  row_offset=0):
+                  row_offset=0, param_grads=False):
     """Staged driver over a MULTI-FRAME lane pool.
 
     ``frames``: (F,) frame counters; ``bn_stack``: (C, F, H, W) per-frame
@@ -2422,7 +2444,12 @@ def _trace_staged(packs, cam, scalars, bn_stack, frames, cfg, height, width,
     Returns the monolithic kernel's `outs` tuple with a leading F axis, so
     the composition tail (deferred equirect / PBR texel fetches) is shared
     verbatim."""
-    layout = _state_layout(cfg, mesh_textured)
+    quads_p, sph_p, qdr_p, _mesh_p = packs
+    n_obj = (quads_p.shape[0]
+             + (sph_p.shape[0] if sph_p is not None else 0)
+             + (qdr_p.shape[0] if qdr_p is not None else 0))
+    n_sg = (n_obj if cfg.transparent_tint else 2 * n_obj) if param_grads else 0
+    layout = _state_layout(cfg, mesh_textured, n_sg)
     S = len(layout)
     F = frames.shape[0]
     M = F * height * width
@@ -2475,7 +2502,8 @@ def _trace_staged(packs, cam, scalars, bn_stack, frames, cfg, height, width,
     kw = dict(cfg=cfg, img_height=img_height or height, img_width=width,
               tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
               fast_quads=fast_quads, mesh_textured=mesh_textured,
-              mesh_stream=mesh_stream, mesh_oct=mesh_oct)
+              mesh_stream=mesh_stream, mesh_oct=mesh_oct,
+              param_grads=param_grads)
     bounds = [0] + list(splits) + [cfg.bounces]
     # primary packets are camera-coherent (and bundle F frames of the same
     # pixel block): default to one whole-tile shared cursor
@@ -2527,6 +2555,9 @@ def _trace_staged(packs, cam, scalars, bn_stack, frames, cfg, height, width,
         for b in range(cfg.bounces):
             outs += [P(f"alb_u{b}"), P(f"alb_v{b}")]
         outs += [P("em_r"), P("em_g"), P("em_b"), P("em_u"), P("em_v")]
+    if param_grads:
+        # (n_sg, F, H, W) — monolithic sgrad with a leading F axis folded in
+        outs.append(jnp.stack([P(f"sg{j}") for j in range(n_sg)]))
     return tuple(outs)
 
 
@@ -2631,6 +2662,96 @@ def _prb_fn(cfg: IntegratorConfig, height: int, width: int, tile_rows: int, tile
     return f
 
 
+@functools.lru_cache(maxsize=64)
+def _prb_staged_fn(cfg: IntegratorConfig, height: int, width: int,
+                   tile_rows: int, tile_cols: int, interpret: bool,
+                   fast_quads: bool, mesh_textured: bool, sub_rows: int,
+                   splits: tuple, mesh_stream: bool, reorder_key: str,
+                   sub_rows_primary, mesh_oct: bool, img_height: int):
+    """Path-replay VJP for the STAGED (sorted-wavefront) path — the same
+    ∂log-throughput planes as _prb_fn, but accumulated as per-lane state
+    carries (`sg{j}` in _state_layout) so they ride the group-8 permutations
+    and scatter home with the lane identity.  f(packs, cam, scalars,
+    bn_stack, frames, row_offset) returns _trace_staged's outs tuple
+    (leading F axis); row_offset is DYNAMIC (it is an axis_index under a
+    row-sharded shard_map); gradients flow to the packed material-color
+    columns exactly as in the monolithic VJP (verified bit-equal by
+    tests/test_fused_gradients.py)."""
+    env_hdri = cfg.env == "hdri"
+    em_idx = (17 if env_hdri else 11) + 2 * cfg.bounces if mesh_textured else None
+    n_draw = 4 + (4 * cfg.bounces if cfg.nee == "env" else 0)
+
+    kw = dict(cfg=cfg, height=height, width=width, tile_rows=tile_rows,
+              tile_cols=tile_cols, interpret=interpret, fast_quads=fast_quads,
+              mesh_textured=mesh_textured, sub_rows=sub_rows,
+              splits=splits, mesh_stream=mesh_stream, reorder_key=reorder_key,
+              sub_rows_primary=sub_rows_primary, mesh_oct=mesh_oct,
+              img_height=img_height)
+
+    @jax.custom_vjp
+    def f(packs, cam, scalars, bn_stack, frames, row_offset):
+        return tuple(_trace_staged(packs, cam, scalars, bn_stack, frames,
+                                   row_offset=row_offset, **kw))
+
+    def f_fwd(packs, cam, scalars, bn_stack, frames, row_offset):
+        *outs, sgrad = _trace_staged(packs, cam, scalars, bn_stack, frames,
+                                     row_offset=row_offset,
+                                     param_grads=True, **kw)
+        mw = (outs[11], outs[12], outs[13]) if env_hdri else None
+        emw = (outs[em_idx], outs[em_idx + 1], outs[em_idx + 2]) if em_idx else None
+        quads, sph, qdr, _mesh = packs
+        parts = []
+        if sph is not None:
+            parts.append(sph[:, 16:19])
+        if qdr is not None:
+            parts.append(qdr[:, 16:19])
+        parts.append(quads[:, 15:18])
+        colors = jnp.concatenate(parts, axis=0)
+        res = (outs[0], outs[1], outs[2], outs[9], mw, emw, sgrad, colors,
+               jax.tree.map(_zeros_ct, packs, is_leaf=lambda x: x is None))
+        return tuple(outs), res
+
+    def f_bwd(res, cot):
+        cr, cg, cb, oid_plane, mw, emw, sgrad, colors, zpacks = res
+        F = sgrad.shape[1]
+        zq, zs, zqd, _zmesh = zpacks
+        n_s = zs.shape[0] if zs is not None else 0
+        n_qd = zqd.shape[0] if zqd is not None else 0
+        n_q = zq.shape[0]
+        n_obj = n_q + n_s + n_qd
+        adj_col = jnp.stack(cot[0:3])  # (3, F, H, W)
+        color = jnp.stack([cr, cg, cb])
+        weighted = adj_col * color
+        if env_hdri:
+            weighted = weighted + jnp.stack(cot[11:14]) * jnp.stack(mw)
+        if emw is not None:
+            weighted = weighted + jnp.stack(cot[em_idx:em_idx + 3]) * jnp.stack(emw)
+        inv_c = 1.0 / jnp.maximum(colors, 1e-8)
+        gcol = jnp.einsum("cfhw,jfhw->jc", weighted, sgrad[:n_obj]) * inv_c
+        if sgrad.shape[0] > n_obj:
+            beer_gate = ((colors > 0.01) & (colors < 0.99)).astype(jnp.float32)
+            gcol = gcol + jnp.einsum(
+                "cfhw,jfhw->jc", weighted, sgrad[n_obj:]
+            ) * beer_gate * inv_c
+        adj_oc = jnp.stack(cot[6:9])
+        onehot = (oid_plane[None]
+                  == jnp.arange(n_obj, dtype=jnp.float32)[:, None, None, None])
+        gcol = gcol + jnp.einsum("cfhw,jfhw->jc", adj_oc, onehot.astype(jnp.float32))
+        gq = zq.at[:, 15:18].set(gcol[n_s + n_qd:])
+        gs = zs.at[:, 16:19].set(gcol[:n_s]) if zs is not None else None
+        gqd = zqd.at[:, 16:19].set(gcol[n_s:n_s + n_qd]) if zqd is not None else None
+        import numpy as _np
+
+        return ((gq, gs, gqd, _zmesh), jnp.zeros(16, jnp.float32),
+                jnp.zeros(10, jnp.float32),
+                jnp.zeros((n_draw, F, height, width), jnp.float32),
+                jnp.zeros((F,), jnp.float32),
+                _np.zeros((), jax.dtypes.float0))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def _setup_inputs(scene: Scene, camera, cfg: IntegratorConfig, width, height,
                   frame_counter, want_oct: bool = False):
     """Shared packing/validation for the fused entry points: (packs, cam,
@@ -2716,6 +2837,7 @@ def trace_frames_pallas(
     full_height: int | None = None,
     row_offset=0,
     mesh_stream: bool | None = None,
+    differentiable: bool = False,
 ):
     """Fused MULTI-FRAME render on the staged sorted-wavefront path.
 
@@ -2776,12 +2898,24 @@ def trace_frames_pallas(
         if scene.mesh is not None:
             mesh_bytes = (packs[3][1].size + packs[3][2].size) * 4
             mesh_stream = mesh_bytes > 12 * 1024 * 1024
-    outs = _trace_staged(
-        packs, cam, scalars, bn_stack, frame_counters, cfg, height, width,
-        tile_rows, tile_cols, interpret, fast_quads, mesh_textured,
-        sub_rows, splits, mesh_stream, reorder_key, mesh_oct=use_oct,
-        img_height=h_img, row_offset=row_offset,
-    )
+    if differentiable:
+        # staged path-replay VJP: material-color gradients through the
+        # sg-plane state carries; texture-map gradients through the
+        # deferred composition below by plain AD (same coverage as the
+        # monolithic differentiable=True)
+        f = _prb_staged_fn(cfg, height, width, tile_rows, tile_cols,
+                           interpret, fast_quads, mesh_textured, sub_rows,
+                           splits, mesh_stream, reorder_key, None, use_oct,
+                           h_img)
+        outs = f(packs, cam, scalars, bn_stack, frame_counters,
+                 jnp.asarray(row_offset, jnp.int32))
+    else:
+        outs = _trace_staged(
+            packs, cam, scalars, bn_stack, frame_counters, cfg, height, width,
+            tile_rows, tile_cols, interpret, fast_quads, mesh_textured,
+            sub_rows, splits, mesh_stream, reorder_key, mesh_oct=use_oct,
+            img_height=h_img, row_offset=row_offset,
+        )
     return _compose_result(outs, scene, cfg, mesh_textured)
 
 
@@ -2865,23 +2999,30 @@ def trace_image_pallas(
         # direction octant + dead-lane compaction).  Meshes whose dense pack
         # exceeds the VMEM budget automatically switch to HBM leaf
         # streaming, so reference-capacity scenes stay on the fused path.
-        assert not differentiable, (
-            "reorder=True has no path-replay VJP yet — use the monolithic "
-            "fused path (differentiable=True) or the wavefront integrator")
         splits = (tuple(reorder_splits) if reorder_splits is not None
                   else tuple(range(1, cfg.bounces)))
         mesh_stream = False
         if scene.mesh is not None:
             mesh_bytes = (packs[3][1].size + packs[3][2].size) * 4
             mesh_stream = mesh_bytes > 12 * 1024 * 1024
-        outs = _trace_staged(
-            packs, cam, scalars, bn_planes[:, None],
-            jnp.asarray(frame_counter, jnp.float32)[None], cfg, height, width,
-            tile_rows, tile_cols, interpret, fast_quads, mesh_textured,
-            sub_rows, splits, mesh_stream, reorder_key,
-            sub_rows_primary=sub_rows if sub_rows else None,
-            mesh_oct=use_oct,
-        )
+        if differentiable:
+            f = _prb_staged_fn(cfg, height, width, tile_rows, tile_cols,
+                               interpret, fast_quads, mesh_textured, sub_rows,
+                               splits, mesh_stream, reorder_key,
+                               sub_rows if sub_rows else None, use_oct,
+                               height)
+            outs = f(packs, cam, scalars, bn_planes[:, None],
+                     jnp.asarray(frame_counter, jnp.float32)[None],
+                     jnp.asarray(0, jnp.int32))
+        else:
+            outs = _trace_staged(
+                packs, cam, scalars, bn_planes[:, None],
+                jnp.asarray(frame_counter, jnp.float32)[None], cfg, height,
+                width, tile_rows, tile_cols, interpret, fast_quads,
+                mesh_textured, sub_rows, splits, mesh_stream, reorder_key,
+                sub_rows_primary=sub_rows if sub_rows else None,
+                mesh_oct=use_oct,
+            )
         outs = tuple(o[0] for o in outs)  # squeeze the F=1 axis
     elif differentiable:
         f = _prb_fn(cfg, height, width, tile_rows, tile_cols, interpret,

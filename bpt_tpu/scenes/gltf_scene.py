@@ -124,6 +124,102 @@ def _decision_classes(model: GLTFModel, uv: np.ndarray) -> np.ndarray:
     return cls
 
 
+_SPLIT_FIELDS = ("p0", "p1", "p2", "n0", "n1", "n2", "uv0", "uv1", "uv2")
+
+# decision/variance taps: vertices + edge midpoints + centroid + 3 interior
+_TAP_W = np.array([
+    [1, 0, 0], [0, 1, 0], [0, 0, 1],
+    [.5, .5, 0], [0, .5, .5], [.5, 0, .5],
+    [1 / 3, 1 / 3, 1 / 3],
+    [.6, .2, .2], [.2, .6, .2], [.2, .2, .6],
+], np.float64)  # (K, 3) barycentric weights
+
+
+def _split4(cur: dict, mixed: np.ndarray) -> dict:
+    """4-way midpoint split of the masked triangles (geometry unchanged:
+    exact splits), keeping the rest."""
+    keep = {f: cur[f][~mixed] for f in _SPLIT_FIELDS}
+    a = {f: cur[f][mixed] for f in _SPLIT_FIELDS}
+
+    def mid(x, y):
+        return (x + y) * 0.5
+
+    parts = []
+    for (v0, v1, v2) in (
+        ("0", "m01", "m02"), ("m01", "1", "m12"),
+        ("m02", "m12", "2"), ("m01", "m12", "m02"),
+    ):
+        def pick(prefix, which):
+            if which in ("0", "1", "2"):
+                return a[prefix + which]
+            i, j = which[1], which[2]
+            return mid(a[prefix + i], a[prefix + j])
+
+        parts.append({
+            "p0": pick("p", v0), "p1": pick("p", v1), "p2": pick("p", v2),
+            "n0": pick("n", v0), "n1": pick("n", v1), "n2": pick("n", v2),
+            "uv0": pick("uv", v0), "uv1": pick("uv", v1), "uv2": pick("uv", v2),
+        })
+    return {
+        f: np.concatenate([keep[f]] + [p[f] for p in parts]).astype(np.float32)
+        for f in _SPLIT_FIELDS
+    }
+
+
+def _perturbed_tap_normals(model_nm: np.ndarray, n: np.ndarray,
+                           uv: np.ndarray) -> np.ndarray:
+    """Tangent-space normal-map perturbation at (T, K) taps, the same math
+    as _bake_vertex_normal_map / textures.perturb_normal.  n, uv: (T, K, 3/2)
+    interpolated base normals + UVs.  Returns (T, K, 3) unit normals."""
+    h, w = model_nm.shape[0], model_nm.shape[1]
+    nl = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-10)
+    up = np.where(np.abs(nl[..., 1:2]) < 0.9, [0.0, 1.0, 0.0], [1.0, 0.0, 0.0])
+    s = np.cross(up, nl)
+    s /= np.maximum(np.linalg.norm(s, axis=-1, keepdims=True), 1e-10)
+    t = np.cross(nl, s)
+    xi = np.mod(np.floor(uv[..., 0] * w).astype(np.int64), w)
+    yi = np.mod(np.floor(uv[..., 1] * h).astype(np.int64), h)
+    mp = model_nm[yi, xi, :3] * 2.0 - 1.0
+    mp /= np.maximum(np.linalg.norm(mp, axis=-1, keepdims=True), 1e-10)
+    out = s * mp[..., 0:1] + t * mp[..., 1:2] + nl * mp[..., 2:3]
+    return out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-10)
+
+
+def split_normal_variance_triangles(
+    model: GLTFModel, max_depth: int = 3, max_angle_deg: float = 10.0
+) -> GLTFModel:
+    """Midpoint-subdivide triangles whose normal-MAP perturbed normal varies
+    by more than ``max_angle_deg`` across the triangle.
+
+    The fused megakernel bakes the normal map per VERTEX
+    (_bake_vertex_normal_map) — exact where the perturbed normal is
+    ~linear over the triangle, and the dominant term of the measured
+    fused-vs-wavefront residual where it is not (VERDICT r4 #5).  Vertex
+    bake converges to the per-texel reference as triangles shrink, so
+    splitting exactly the high-variance triangles buys per-texel-class
+    fidelity at a bounded triangle-count cost.  Geometry is unchanged
+    (exact 4-way splits)."""
+    if model.normal_map is None:
+        return model
+    nm = np.asarray(model.normal_map)
+    cos_thresh = np.cos(np.deg2rad(max_angle_deg))
+    cur = {f: np.asarray(getattr(model, f)) for f in _SPLIT_FIELDS}
+    for _ in range(max_depth):
+        n3 = np.stack([cur["n0"], cur["n1"], cur["n2"]], axis=1)  # (T,3,3)
+        uv3 = np.stack([cur["uv0"], cur["uv1"], cur["uv2"]], axis=1)
+        n_tap = np.einsum("kj,tjc->tkc", _TAP_W, n3)
+        uv_tap = np.einsum("kj,tjc->tkc", _TAP_W, uv3)
+        pn = _perturbed_tap_normals(nm, n_tap, uv_tap)  # (T, K, 3)
+        mean = pn.mean(axis=1)
+        mean /= np.maximum(np.linalg.norm(mean, axis=-1, keepdims=True), 1e-10)
+        cosmin = np.einsum("tkc,tc->tk", pn, mean).min(axis=1)
+        varying = cosmin < cos_thresh
+        if not varying.any():
+            break
+        cur = _split4(cur, varying)
+    return model._replace(**cur)
+
+
 def split_mixed_decision_triangles(model: GLTFModel, max_depth: int = 2) -> GLTFModel:
     """Midpoint-subdivide triangles whose PBR decision maps take DIFFERENT
     branches within the triangle, until each (sub)triangle is
@@ -139,51 +235,17 @@ def split_mixed_decision_triangles(model: GLTFModel, max_depth: int = 2) -> GLTF
                                 and model.emissive is None):
         return model
 
-    fields = ("p0", "p1", "p2", "n0", "n1", "n2", "uv0", "uv1", "uv2")
-    cur = {f: np.asarray(getattr(model, f)) for f in fields}
+    cur = {f: np.asarray(getattr(model, f)) for f in _SPLIT_FIELDS}
     for _ in range(max_depth):
         uv = np.stack([cur["uv0"], cur["uv1"], cur["uv2"]], axis=1)  # (T,3,2)
-        # decision taps: vertices + edge midpoints + centroid + 3 interior
-        w = np.array([
-            [1, 0, 0], [0, 1, 0], [0, 0, 1],
-            [.5, .5, 0], [0, .5, .5], [.5, 0, .5],
-            [1 / 3, 1 / 3, 1 / 3],
-            [.6, .2, .2], [.2, .6, .2], [.2, .2, .6],
-        ], np.float64)  # (K, 3)
-        taps = np.einsum("kj,tjc->tkc", w, uv)
+        taps = np.einsum("kj,tjc->tkc", _TAP_W, uv)
         cls = _decision_classes(model, taps)
         mixed = (cls != cls[:, :1]).any(axis=1)
         if not mixed.any():
             break
-        keep = {f: cur[f][~mixed] for f in fields}
-        a = {f: cur[f][mixed] for f in fields}
-
-        def mid(x, y):
-            return (x + y) * 0.5
-
-        # 4-way midpoint split of each mixed triangle
-        parts = []
-        for (v0, v1, v2) in (
-            ("0", "m01", "m02"), ("m01", "1", "m12"),
-            ("m02", "m12", "2"), ("m01", "m12", "m02"),
-        ):
-            def pick(prefix, which):
-                if which in ("0", "1", "2"):
-                    return a[prefix + which]
-                i, j = which[1], which[2]
-                return mid(a[prefix + i], a[prefix + j])
-
-            parts.append({
-                "p0": pick("p", v0), "p1": pick("p", v1), "p2": pick("p", v2),
-                "n0": pick("n", v0), "n1": pick("n", v1), "n2": pick("n", v2),
-                "uv0": pick("uv", v0), "uv1": pick("uv", v1), "uv2": pick("uv", v2),
-            })
-        cur = {
-            f: np.concatenate([keep[f]] + [p[f] for p in parts]).astype(np.float32)
-            for f in fields
-        }
+        cur = _split4(cur, mixed)
         model = model._replace(**cur)
-    return model._replace(**{f: cur[f] for f in fields})
+    return model._replace(**cur)
 
 
 def _bake_vertex_normal_map(model: GLTFModel) -> tuple:
@@ -228,6 +290,8 @@ def mesh_from_model(
     scale=(1.0, 1.0, 1.0),
     leaf_size: int = 16,
     split_mixed: int = 0,
+    split_normals: int = 0,
+    split_normals_deg: float = 10.0,
     builder: str = "sah",
 ) -> TriangleMesh:
     """glTF soup → device TriangleMesh with a freshly built BVH.
@@ -247,6 +311,12 @@ def mesh_from_model(
     """
     if split_mixed and model.albedo is not None:
         model = split_mixed_decision_triangles(model, max_depth=split_mixed)
+    if split_normals and model.normal_map is not None:
+        # attacks the DOMINANT fused-vs-wavefront residual (the per-vertex
+        # normal-map bake, VERDICT r4 #5): vertex bake -> per-texel-class
+        # as the high-variance triangles shrink
+        model = split_normal_variance_triangles(
+            model, max_depth=split_normals, max_angle_deg=split_normals_deg)
     mn, mx, _ = triangle_aabbs(model.p0, model.p1, model.p2)
     # binned SAH is the perf default: the packet walker pays for the
     # PACKET'S subtree union, and SAH's low-overlap splits cut its node

@@ -122,6 +122,130 @@ def test_fused_albedo_map_texel_gradients_duck():
         )
 
 
+def test_staged_vjp_matches_monolithic_duck():
+    """The STAGED (reorder=True) path-replay VJP: the ∂log-throughput planes
+    ride the state permutations (sg{j} in _state_layout) and scatter home
+    with the lane identity, so gradients must equal the monolithic VJP's —
+    checked on the Duck albedo map AND a sphere color (the sg planes
+    proper), same loss, same draws."""
+    model = _load("Duck.gltf", 10.0, False, tex_size=32)
+    mesh0 = mesh_from_model(model, mat_type=1)
+    cfg = IntegratorConfig(bounces=2, metal_roughness_lobe=True)
+    w_plane = jnp.asarray(
+        np.random.default_rng(2).normal(size=(RES, RES, 3)), jnp.float32
+    )
+
+    def loss(albedo, sph_col, reorder):
+        mesh = mesh0._replace(albedo=albedo, albedo_q=quad_pack(albedo))
+        scene = gltf_scene(mesh)
+        scene = scene._replace(spheres=scene.spheres._replace(
+            color=scene.spheres.color.at[0].set(sph_col)))
+        c = trace_image_pallas(
+            scene, gltf_camera(), cfg, RES, RES, 2.0, RV, BN,
+            tile_rows=32, tile_cols=32, interpret=True,
+            differentiable=True, reorder=reorder,
+        ).color
+        return jnp.mean(w_plane * c)
+
+    a0 = jnp.asarray(model.albedo)
+    s0 = jnp.asarray([1.0, 1.0, 0.0])
+    g_mono = jax.grad(loss, argnums=(0, 1))(a0, s0, False)
+    g_staged = jax.grad(loss, argnums=(0, 1))(a0, s0, True)
+    # forward is bit-equal; gradients differ only by reduction order
+    np.testing.assert_allclose(np.asarray(g_staged[0]), np.asarray(g_mono[0]),
+                               rtol=1e-4, atol=1e-8, err_msg="albedo map")
+    np.testing.assert_allclose(np.asarray(g_staged[1]), np.asarray(g_mono[1]),
+                               rtol=1e-4, atol=1e-8, err_msg="sphere color")
+
+
+def test_fused_albedo_map_texel_gradients_helmet():
+    """VERDICT r4 task 7: the per-texel albedo-MAP probes on DamagedHelmet —
+    the only asset with emissive + normal map + metal lobe simultaneously
+    (Duck exercises none of those interactions)."""
+    model = _load("DamagedHelmet.gltf", 15.0, True, tex_size=32)
+    mesh0 = mesh_from_model(model, mat_type=1)
+    cfg = IntegratorConfig(bounces=2, metal_roughness_lobe=True)
+    w_plane = jnp.asarray(
+        np.random.default_rng(3).normal(size=(RES, RES, 3)), jnp.float32
+    )
+
+    def loss(albedo, differentiable):
+        mesh = mesh0._replace(albedo=albedo, albedo_q=quad_pack(albedo))
+        return jnp.mean(w_plane * _fused(gltf_scene(mesh), cfg, differentiable))
+
+    a0 = jnp.asarray(model.albedo)
+    g = jax.grad(lambda a: loss(a, True))(a0)
+    g_np = np.asarray(g)
+    assert np.isfinite(g_np).all()
+    flat = np.abs(g_np).reshape(-1)
+    assert (flat > 0).sum() > 10, "albedo-map gradient must be nonzero"
+    order = np.argsort(flat)[::-1][:4]
+    h = 5e-3
+    for idx in order:
+        yi, xi, ci = np.unravel_index(idx, g_np.shape)
+        e = jnp.zeros_like(a0).at[yi, xi, ci].set(h)
+        fd = (float(loss(a0 + e, False)) - float(loss(a0 - e, False))) / (2 * h)
+        np.testing.assert_allclose(
+            g_np[yi, xi, ci], fd, rtol=2e-2, atol=1e-8,
+            err_msg=f"helmet albedo texel ({yi},{xi},{ci}) grad",
+        )
+
+
+def test_fused_emissive_map_gradients_helmet():
+    """The deferred emissive-terminal term (color += em_w * emissive^2.2,
+    megakernel._compose_result): per-texel emissive-MAP gradients through
+    plain AD of the composition, FD-probed on the hottest texels.
+
+    The stock gltf_camera views the helmet from BEHIND (the 26
+    emissive-flagged triangles all face +z, centroids z in [-1.8, 6.7]);
+    a front-facing close camera makes them cover real pixels at RES=32."""
+    from bpt_tpu.camera import Camera
+
+    model = _load("DamagedHelmet.gltf", 15.0, True, tex_size=32)
+    if model.emissive is None:
+        pytest.skip("helmet emissive map missing")
+    # block-MAX downsample: the emissive regions cover only ~2% of texels,
+    # so a strided subsample misses them entirely (zero flags, zero grads)
+    eh, ew = model.emissive.shape[:2]
+    t = 32
+    em = np.asarray(model.emissive)[: eh // t * t, : ew // t * t]
+    em = em.reshape(t, eh // t, t, ew // t, -1).max(axis=(1, 3))
+    model = model._replace(emissive=em.astype(np.float32))
+    mesh0 = mesh_from_model(model, mat_type=1)
+    cfg = IntegratorConfig(bounces=2, metal_roughness_lobe=True)
+    cam = Camera.look(position=(0.0, 5.0, 30.0), yaw=float(np.pi), fov=0.8,
+                      focus_distance=25.0)
+    w_plane = jnp.asarray(
+        np.random.default_rng(4).normal(size=(RES, RES, 3)), jnp.float32
+    )
+
+    def loss(emissive, differentiable):
+        mesh = mesh0._replace(emissive=emissive, emissive_q=quad_pack(emissive))
+        c = trace_image_pallas(
+            gltf_scene(mesh), cam, cfg, RES, RES, 2.0, RV, BN,
+            tile_rows=32, tile_cols=32, interpret=True,
+            differentiable=differentiable,
+        ).color
+        return jnp.mean(w_plane * c)
+
+    e0 = jnp.asarray(model.emissive)
+    g = jax.grad(lambda e: loss(e, True))(e0)
+    g_np = np.asarray(g)
+    assert np.isfinite(g_np).all()
+    flat = np.abs(g_np).reshape(-1)
+    assert (flat > 0).sum() > 4, "emissive-map gradient must be nonzero"
+    order = np.argsort(flat)[::-1][:3]
+    h = 5e-3
+    for idx in order:
+        yi, xi, ci = np.unravel_index(idx, g_np.shape)
+        e = jnp.zeros_like(e0).at[yi, xi, ci].set(h)
+        fd = (float(loss(e0 + e, False)) - float(loss(e0 - e, False))) / (2 * h)
+        np.testing.assert_allclose(
+            g_np[yi, xi, ci], fd, rtol=2e-2, atol=1e-8,
+            err_msg=f"helmet emissive texel ({yi},{xi},{ci}) grad",
+        )
+
+
 def test_fused_inverse_rendering_step_reduces_loss():
     """apps/inverse_rendering.py's fused (pallas=True) fwd+bwd path: a few
     Adam steps on the albedo map reduce the loss."""
