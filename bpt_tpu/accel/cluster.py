@@ -308,12 +308,26 @@ class Bvh4OctBVH(NamedTuple):
       [ 0..23]  4x child AABB (min.xyz, max.xyz); absent children get the
                 never-hit box (min=+1e30, max=-1e30)
       [24..27]  child meta: >= 0 -> inner child's record id;
-                < 0 -> inlined leaf, -(row_start * 32 + row_count)
+                < 0 -> inlined leaf, -(woop_row_start * 32 + woop_row_count)
+                (WOOP-row units; the dense interp rows of woop row w are
+                rows 2w and 2w+1 — leaves are 8-slot aligned)
       [28]      escape (next record after this subtree)
       [29..31]  pad (0)
     All links are float-encoded (exact < 2^24, checked).  Children sit in
-    near-first order per octant layout; the shared triangle rows equal
-    pack_clustered_dense_oct's byte-for-byte."""
+    near-first order per octant layout.
+
+    ``woop``: the round-5 leaf-test format — (Rp/2, 128) rows of EIGHT
+    affine unit-triangle transforms (Woop), 16 floats per tri:
+      [0:9]  A = inv([e1 e2 n]) row-major (n = e1 x e2)
+      [9:12] b = -A @ p0
+      [12]   original triangle id (float, exact < 2^24)
+      [13:16] pad
+    For a ray (ro, rd): o' = A@ro + b, d' = A@rd, t = -o'z/d'z,
+    u = o'x + t d'x, v = o'y + t d'y — ~40 vector ops per triangle vs ~85
+    for Moller-Trumbore-with-interpolation, and 8 tris per row load.  The
+    walker tests woop rows for REJECTION and reads the dense rows (2w,
+    2w+1) only when a row actually improves some lane ('interp on
+    improve').  Degenerate/pad slots store A = b = 0 -> t = 0 -> miss."""
 
     nodes_f: np.ndarray  # (Np4, 32) preorder layout
     nodes_oct: np.ndarray  # (8 * Np4, 32) near-first per octant
@@ -321,12 +335,17 @@ class Bvh4OctBVH(NamedTuple):
     tri_order: np.ndarray  # (Rp*4,) packed slot -> original tri id
     n_nodes: int  # Np4 (padded, per layout)
     n_rows: int
+    woop: np.ndarray = None  # (Rp/2, 128) Woop leaf-test rows
 
 
-def _collapse_binary(bvh: BuiltBVH, leaf_size: int):
+def _collapse_binary(bvh: BuiltBVH, leaf_size: int, slot_align: int = 4):
     """Collapse the flat 1-tri-leaf binary BVH into the clustered binary
     tree + shared dense triangle row table (the common prefix of
-    pack_clustered_dense_oct and pack_bvh4_oct; identical tri ordering)."""
+    pack_clustered_dense_oct and pack_bvh4_oct; identical tri ordering).
+
+    ``slot_align``: pad each leaf's slot run to this multiple (4 = one
+    dense row; 8 = one Woop row == two dense rows, keeping every leaf's
+    dense range even-aligned for the 2:1 woop<->dense row mapping)."""
     node_tri = np.asarray(bvh.node_tri)
     node_right = np.asarray(bvh.node_right)
     node_min = np.asarray(bvh.node_min)
@@ -382,7 +401,7 @@ def _collapse_binary(bvh: BuiltBVH, leaf_size: int):
         if cleft[cid] < 0:
             row_of[cid] = (len(slots) // 4, (c + 3) // 4)
             slots.extend(int(t) for t in tri_order_raw[s:s + c])
-            slots.extend([-1] * (-c % 4))
+            slots.extend([-1] * (-c % slot_align))
     n_rows = len(slots) // 4
     return cmin, cmax, cleft, cright, row_of, slots, n_rows
 
@@ -413,6 +432,35 @@ def _pack_rows(slots, n_rows, p0, p1, p2, n0, n1, n2, uv0, uv1, uv2, tri_attr):
     return rows, order, rpad
 
 
+def _pack_woop_rows(order: np.ndarray, p0: np.ndarray, p1: np.ndarray,
+                    p2: np.ndarray) -> np.ndarray:
+    """(Rp/2, 128) Woop leaf-test rows (8 tris x 16 floats, see Bvh4OctBVH).
+
+    A = inv([e1 e2 n]) (n = e1 x e2), b = -A @ p0, computed in float64;
+    degenerate/pad slots get A = b = 0 (t evaluates to 0 -> miss)."""
+    n_slots = len(order)
+    assert n_slots % 8 == 0
+    rec = np.zeros((n_slots, 16), np.float32)
+    real = order >= 0
+    o = order[real]
+    e1 = (p1[o] - p0[o]).astype(np.float64)
+    e2 = (p2[o] - p0[o]).astype(np.float64)
+    nrm = np.cross(e1, e2)
+    M = np.stack([e1, e2, nrm], axis=-1)  # (T, 3, 3) columns
+    det = np.linalg.det(M)
+    good = np.abs(det) > 1e-30
+    A = np.zeros_like(M)
+    if good.any():
+        A[good] = np.linalg.inv(M[good])
+    b = -np.einsum("tij,tj->ti", A, p0[o].astype(np.float64))
+    sub = np.zeros((len(o), 16), np.float32)
+    sub[:, 0:9] = A.reshape(-1, 9).astype(np.float32)
+    sub[:, 9:12] = b.astype(np.float32)
+    sub[:, 12] = o.astype(np.float32)
+    rec[real] = sub
+    return rec.reshape(n_slots // 8, 128)
+
+
 def pack_bvh4_oct(
     bvh: BuiltBVH,
     p0: np.ndarray,
@@ -431,10 +479,21 @@ def pack_bvh4_oct(
     triangle rows byte-identical to pack_clustered_dense_oct's."""
     if leaf_size > 64:
         raise ValueError("leaf_size > 64 exceeds the 16-row leaf DMA window")
-    cmin, cmax, cleft, cright, row_of, slots, n_rows = _collapse_binary(bvh, leaf_size)
+    cmin, cmax, cleft, cright, row_of, slots, n_rows = _collapse_binary(
+        bvh, leaf_size, slot_align=8
+    )
     rows, order, rpad = _pack_rows(
         slots, n_rows, p0, p1, p2, n0, n1, n2, uv0, uv1, uv2, tri_attr
     )
+    # dense rows come out even ((n_rows + rpad) % 2 == 0: leaves are 8-slot
+    # aligned and rpad = (-n_rows % 8) + 16), so the 2:1 woop<->dense row
+    # mapping is exact
+    assert (n_rows + rpad) % 2 == 0
+    woop = _pack_woop_rows(order, p0, p1, p2)
+
+    def leaf_meta(cid):
+        rs, rc = row_of[cid]
+        return -float((rs // 2) * 32 + (rc + 1) // 2)
     n_bin = len(cmin)
     ctr = [(np.asarray(cmin[i]) + np.asarray(cmax[i])) * 0.5 for i in range(n_bin)]
 
@@ -464,8 +523,7 @@ def pack_bvh4_oct(
             r[0:3] = cmin[0]
             r[3:6] = cmax[0]
             r[6:24] = NEVER[0:6].tolist() * 3
-            rs, rc = row_of[0]
-            r[24] = -(rs * 32 + rc)
+            r[24] = leaf_meta(0)
             r[25] = r[26] = r[27] = 0.0
             for k in range(1, 4):
                 r[6 * k:6 * k + 6] = NEVER
@@ -502,8 +560,7 @@ def pack_bvh4_oct(
                 inner = []
                 for k, c in enumerate(kids):
                     if cleft[c] < 0:
-                        rs, rc = row_of[c]
-                        r[24 + k] = -(rs * 32 + rc)
+                        r[24 + k] = leaf_meta(c)
                     else:
                         inner.append((c, my, k))
                 for c, pr, k in reversed(inner):
@@ -525,7 +582,7 @@ def pack_bvh4_oct(
     if max(n4p, n_rows + rpad, n_rows * 32 + 64) >= 1 << 24:
         raise ValueError("mesh too large for the float-linked BVH4 pack")
     nodes_oct = np.concatenate(layouts, axis=0)
-    return Bvh4OctBVH(pre, nodes_oct, rows, order, n4p, n_rows)
+    return Bvh4OctBVH(pre, nodes_oct, rows, order, n4p, n_rows, woop)
 
 
 def pack_clustered_dense_oct(

@@ -476,7 +476,7 @@ def _safe_inv_slab(x):
     return jnp.where(jnp.abs(x) < 1e-20, 1e20, 1.0 / jnp.where(x == 0.0, 1.0, x))
 
 
-def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, active=None, textured=False, stream=None, base=None):
+def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, active=None, textured=False, stream=None, base=None, woop_ref=None):
     """Escape-linked packet walk of the dense clustered BVH for ONE
     sub-packet of rays — the fused-kernel analog of the reference's 28-deep
     per-pixel stack traversal (GLTFModelPathTracing_FragmentShader.js:206-298)
@@ -649,20 +649,102 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
                                meta[k].astype(jnp.int32), next_i)
         return next_i
 
+    def woop_rows(row_get_w, dense_get, nrows_w, c3):
+        """Woop leaf test, 'interp on improve': 8 affine unit-triangle
+        transforms per woop row (accel.cluster.Bvh4OctBVH.woop) give
+        (t, u, v, closer) in ~40 vector ops/tri — the REJECTION path — and
+        the dense interp rows (2w, 2w+1: normals/uvs/attrs) are fetched by
+        ``dense_get(k) -> (d0, d1)`` only when a row actually improves some
+        lane (measured ~10-20% of visited rows), keeping the per-row floor
+        at ~half of in-row MT."""
+
+        def row_body(k, c4):
+            t_best = c4[0]
+            wrow = row_get_w(k)  # (1, 128): 8 tris
+            closers, u_l, v_l = [], [], []
+            for j in range(8):
+                o = 16 * j
+                opx = wrow[0, o + 0] * rox + wrow[0, o + 1] * roy + wrow[0, o + 2] * roz + wrow[0, o + 9]
+                opy = wrow[0, o + 3] * rox + wrow[0, o + 4] * roy + wrow[0, o + 5] * roz + wrow[0, o + 10]
+                opz = wrow[0, o + 6] * rox + wrow[0, o + 7] * roy + wrow[0, o + 8] * roz + wrow[0, o + 11]
+                dpx = wrow[0, o + 0] * rdx + wrow[0, o + 1] * rdy + wrow[0, o + 2] * rdz
+                dpy = wrow[0, o + 3] * rdx + wrow[0, o + 4] * rdy + wrow[0, o + 5] * rdz
+                dpz = wrow[0, o + 6] * rdx + wrow[0, o + 7] * rdy + wrow[0, o + 8] * rdz
+                t = -opz * _safe_inv_slab(dpz)
+                u = opx + t * dpx
+                v = opy + t * dpy
+                # d'z = n.rd / |n|^2, so cull (det = -rd.n < 0) == d'z > 0
+                miss = (u < 0.0) | (v < 0.0) | (u + v > 1.0) | (t <= 0.0)
+                miss = miss | (cull & (dpz > 0.0))
+                closer = jnp.logical_not(miss) & (t < t_best)
+                t_best = jnp.where(closer, t, t_best)
+                closers.append(closer)
+                u_l.append(u)
+                v_l.append(v)
+            improved = closers[0]
+            for j in range(1, 8):
+                improved = improved | closers[j]
+
+            def interp_fn(c5, k=k, closers=closers, u_l=u_l, v_l=v_l):
+                nx, ny, nz, us, vs, *attrs = c5
+                attrs = list(attrs)
+                d0, d1 = dense_get(k)
+                for j in range(8):
+                    row = d0 if j < 4 else d1
+                    o2 = 32 * (j % 4)
+                    u, v, cl = u_l[j], v_l[j], closers[j]
+                    w = 1.0 - u - v
+                    inx = w * row[0, o2 + 9] + u * row[0, o2 + 12] + v * row[0, o2 + 15]
+                    iny = w * row[0, o2 + 10] + u * row[0, o2 + 13] + v * row[0, o2 + 16]
+                    inz = w * row[0, o2 + 11] + u * row[0, o2 + 14] + v * row[0, o2 + 17]
+                    iu = w * row[0, o2 + 18] + u * row[0, o2 + 20] + v * row[0, o2 + 22]
+                    iv = w * row[0, o2 + 19] + u * row[0, o2 + 21] + v * row[0, o2 + 23]
+                    nx = jnp.where(cl, inx, nx)
+                    ny = jnp.where(cl, iny, ny)
+                    nz = jnp.where(cl, inz, nz)
+                    us = jnp.where(cl, iu, us)
+                    vs = jnp.where(cl, iv, vs)
+                    if textured:
+                        attrs = [
+                            jnp.where(cl, row[0, o2 + 24 + a], attrs[a])
+                            for a in range(3)
+                        ]
+                return (nx, ny, nz, us, vs, *attrs)
+
+            rest = jax.lax.cond(jnp.any(improved), interp_fn,
+                                lambda c5: c5, tuple(c4[1:]))
+            return (t_best, *rest)
+
+        return jax.lax.fori_loop(0, nrows_w, row_body, c3)
+
     if bvh4 and stream is None:
+        use_woop = woop_ref is not None
+
         def body(c):
             i, t_best, nx, ny, nz, us, vs, *attrs = c
             ms, meta, esc = bvh4_step(i, t_best)
             st = (t_best, nx, ny, nz, us, vs, *attrs)
             for k in range(4):
+                # meta < 0: inlined leaf, WOOP-row units (dense rows = 2x)
                 enc = (-meta[k]).astype(jnp.int32)
                 row0 = enc // 32
                 nrows = enc - row0 * 32
 
-                def leaf_fn(c2, row0=row0, nrows=nrows):
-                    return tri_rows(
-                        lambda kk: tris_ref[pl.ds(row0 + kk, 1), :], nrows, c2
-                    )
+                if use_woop:
+                    def leaf_fn(c2, row0=row0, nrows=nrows):
+                        return woop_rows(
+                            lambda kk, row0=row0: woop_ref[pl.ds(row0 + kk, 1), :],
+                            lambda kk, row0=row0: (
+                                tris_ref[pl.ds(2 * (row0 + kk), 1), :],
+                                tris_ref[pl.ds(2 * (row0 + kk) + 1, 1), :],
+                            ),
+                            nrows, c2)
+                else:
+                    def leaf_fn(c2, row0=row0, nrows=nrows):
+                        return tri_rows(
+                            lambda kk: tris_ref[pl.ds(2 * row0 + kk, 1), :],
+                            2 * nrows, c2
+                        )
 
                 st = jax.lax.cond(ms[k] & (meta[k] < 0.0), leaf_fn,
                                   lambda c2: c2, st)
@@ -672,6 +754,76 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
         carry = (jnp.int32(0), t_init, zeros, zeros, zeros, zeros, zeros)
         carry = carry + (zeros,) * n_extra
         _, t_best, nx, ny, nz, us, vs, *attrs = jax.lax.while_loop(cond, body, carry)
+        return (t_best, nx, ny, nz, us, vs, t_best < t_init, *attrs)
+
+    if bvh4 and woop_ref is not None:
+        # HBM-streaming Woop walk (reference-capacity meshes): leaves
+        # double-buffer 8-woop-row windows (half the bytes of the dense
+        # window), and the interp-on-improve dense rows (2w, 2w+1) are
+        # fetched by a short blocking DMA only when a row improves a lane.
+        wscr, wsem, iscr, isem = stream
+
+        def leaf_dma_w(row0w, slot):
+            return pltpu.make_async_copy(
+                woop_ref.at[pl.ds(row0w, 8), :], wscr.at[slot], wsem.at[slot]
+            )
+
+        def process_leaf_w(pr0w, pnrw, slot, st):
+            def dense_get(k):
+                cp = pltpu.make_async_copy(
+                    tris_ref.at[pl.ds(2 * (pr0w + k), 2), :], iscr, isem
+                )
+                cp.start()
+                cp.wait()
+                return iscr[pl.ds(0, 1), :], iscr[pl.ds(1, 1), :]
+
+            return woop_rows(
+                lambda kk: wscr[slot, pl.ds(kk, 1), :], dense_get, pnrw, st
+            )
+
+        def body(c):
+            i, pr0, pnr, slot, t_best, nx, ny, nz, us, vs, *attrs = c
+            ms, meta, esc = bvh4_step(i, t_best)
+            st = (t_best, nx, ny, nz, us, vs, *attrs)
+            c2 = (pr0, pnr, slot, st)
+            for k in range(4):
+                enc = (-meta[k]).astype(jnp.int32)
+                row0 = enc // 32
+                nrows = enc - row0 * 32
+
+                def leaf_fn(c3, row0=row0, nrows=nrows):
+                    pr0, pnr, slot, st = c3
+                    leaf_dma_w(row0, 1 - slot).start()
+
+                    def drain(st):
+                        leaf_dma_w(pr0, slot).wait()
+                        return process_leaf_w(pr0, pnr, slot, st)
+
+                    st = jax.lax.cond(pnr > 0, drain, lambda s: s, st)
+                    return (row0, nrows, 1 - slot, st)
+
+                c2 = jax.lax.cond(ms[k] & (meta[k] < 0.0), leaf_fn,
+                                  lambda c3: c3, c2)
+            pr0, pnr, slot, st = c2
+            t_best, nx, ny, nz, us, vs, *attrs = st
+            return (bvh4_next(ms, meta, esc), pr0, pnr, slot,
+                    t_best, nx, ny, nz, us, vs, *attrs)
+
+        carry = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1),
+                 t_init, zeros, zeros, zeros, zeros, zeros)
+        carry = carry + (zeros,) * n_extra
+        _, pr0, pnr, slot, t_best, nx, ny, nz, us, vs, *attrs = (
+            jax.lax.while_loop(cond, body, carry)
+        )
+
+        def final_drain_w(c3):
+            leaf_dma_w(pr0, slot).wait()
+            return process_leaf_w(pr0, pnr, slot, c3)
+
+        t_best, nx, ny, nz, us, vs, *attrs = jax.lax.cond(
+            pnr > 0, final_drain_w, lambda c3: c3,
+            (t_best, nx, ny, nz, us, vs, *attrs),
+        )
         return (t_best, nx, ny, nz, us, vs, t_best < t_init, *attrs)
 
     if bvh4:
@@ -688,9 +840,11 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
             st = (t_best, nx, ny, nz, us, vs, *attrs)
             c2 = (pr0, pnr, slot, st)
             for k in range(4):
+                # meta is WOOP-row units; the stream path walks the dense
+                # Moller-Trumbore rows (2 per woop row)
                 enc = (-meta[k]).astype(jnp.int32)
-                row0 = enc // 32
-                nrows = enc - row0 * 32
+                row0 = 2 * (enc // 32)
+                nrows = 2 * (enc - (enc // 32) * 32)
 
                 def leaf_fn(c3, row0=row0, nrows=nrows):
                     pr0, pnr, slot, st = c3
@@ -948,7 +1102,7 @@ def _state_layout(cfg: IntegratorConfig, mesh_textured: bool, n_sg: int = 0) -> 
     return keys
 
 
-def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False, has_mesh: bool = False, n_nodes_p: int = 0, fast_quads: bool = False, mesh_textured: bool = False, sub_rows: int = 0, bounce_lo: int = 0, bounce_hi: int | None = None, staged: bool = False, mesh_stream: bool = False, mesh_oct: bool = False):
+def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics: int, tile_rows: int, tile_cols: int, width: int, height: int, param_grads: bool = False, has_mesh: bool = False, n_nodes_p: int = 0, fast_quads: bool = False, mesh_textured: bool = False, sub_rows: int = 0, bounce_lo: int = 0, bounce_hi: int | None = None, staged: bool = False, mesh_stream: bool = False, mesh_oct: bool = False, mesh_woop: bool = False):
     eps = cfg.eps_intersect
     if sub_rows <= 0:
         sub_rows = tile_rows
@@ -997,13 +1151,16 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
         if n_quadrics:
             qdr_ref = args[i_arg]
             i_arg += 1
-        mesh_s_ref = mnodes_f_ref = mtris_ref = None
+        mesh_s_ref = mnodes_f_ref = mtris_ref = mwoop_ref = None
         if has_mesh:
             mesh_s_ref, mnodes_f_ref, mtris_ref = args[i_arg:i_arg + 3]
             i_arg += 3
+            if mesh_woop:
+                mwoop_ref = args[i_arg]
+                i_arg += 1
         bn_ref = args[i_arg]
         i_arg += 1
-        st_in_ref = st_out_ref = pix_ref = stream_scratch = stream_sem = None
+        st_in_ref = st_out_ref = pix_ref = stream_refs = None
         if staged:
             # staged (sorted-wavefront) phase: per-lane state rides ONE
             # (S, TH, W) plane stack in and out; the driver permutes lanes
@@ -1021,8 +1178,9 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
             st_out_ref = args[i_arg]
             i_arg += 1
             if mesh_stream:
-                stream_scratch, stream_sem = args[i_arg:i_arg + 2]
-                i_arg += 2
+                n_scr = 4 if mesh_woop else 2
+                stream_refs = args[i_arg:i_arg + n_scr]
+                i_arg += n_scr
         else:
             (col_r, col_g, col_b, onx, ony, onz, ocr, ocg, ocb, oid, osh) = args[i_arg:i_arg + 11]
             i_arg += 11
@@ -1442,7 +1600,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                 # tight under secondary-bounce divergence (measured ~2× on
                 # DamagedHelmet-class meshes, worth the repeated fetches).
                 stream = (
-                    (stream_scratch, stream_sem) if mesh_stream else None
+                    tuple(stream_refs) if mesh_stream else None
                 )
 
                 def pkt_base(rx, ry, rz, act_b):
@@ -1476,6 +1634,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                         n_nodes_p, t_best, active=act_w,
                         textured=mesh_textured, stream=stream,
                         base=pkt_base(mrd_x, mrd_y, mrd_z, act_w),
+                        woop_ref=mwoop_ref,
                     )
                 else:
                     parts = []
@@ -1490,6 +1649,7 @@ def _make_kernel(cfg: IntegratorConfig, n_quads: int, n_spheres: int, n_quadrics
                             active=act_w,
                             textured=mesh_textured, stream=stream,
                             base=pkt_base(mrd_x[sl], mrd_y[sl], mrd_z[sl], act_w),
+                            woop_ref=mwoop_ref,
                         )
                         parts.append(walk_s)
                     walk = tuple(
@@ -2091,7 +2251,7 @@ def pack_mesh(scene: Scene, use_oct: bool = False):
         [m.inv_matrix.reshape(16).astype(jnp.float32), mt[None], cull[None]]
     )
     nodes = m.fz_nodes_oct if use_oct else m.fz_nodes_f
-    return mesh_s, nodes, m.fz_tris
+    return mesh_s, nodes, m.fz_tris, m.fz_woop
 
 
 def pack_cornell_scene(scene: Scene):
@@ -2201,9 +2361,11 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
             "mesh scenes need tile_rows % 8 == 0 (the f32 VMEM row tiling "
             "is (8, 128); tile heights must align to whole sublane tiles)"
         )
+    has_woop = has_mesh and len(mesh) > 3 and mesh[3] is not None
     if has_mesh:
         # whole dense pack must fit VMEM alongside the path state (~16 MB/core)
-        mesh_bytes = (mesh[1].size + mesh[2].size) * 4
+        mesh_bytes = (mesh[1].size + mesh[2].size
+                      + (mesh[3].size if has_woop else 0)) * 4
         if mesh_bytes > 12 * 1024 * 1024:
             raise ValueError(
                 f"mesh pack is {mesh_bytes / 1e6:.0f} MB — beyond the fused "
@@ -2213,7 +2375,7 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
     n_out = 17 if cfg.env == "hdri" else 11
     if mesh_textured:
         n_out += 2 * cfg.bounces + 5  # per-bounce albedo UVs + emissive terminal
-    kernel = _make_kernel(cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width, height, param_grads, has_mesh=has_mesh, n_nodes_p=n_nodes_p, fast_quads=fast_quads, mesh_textured=mesh_textured, sub_rows=sub_rows, mesh_oct=mesh_oct)
+    kernel = _make_kernel(cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, width, height, param_grads, has_mesh=has_mesh, n_nodes_p=n_nodes_p, fast_quads=fast_quads, mesh_textured=mesh_textured, sub_rows=sub_rows, mesh_oct=mesh_oct, mesh_woop=has_woop)
     grid = (height // tile_rows, width // tile_cols)
     plane = jax.ShapeDtypeStruct((height, width), jnp.float32)
     out_shape = [plane] * n_out
@@ -2236,13 +2398,18 @@ def _pallas_forward(packs, cam, scalars, bn_planes, cfg, height, width, tile_row
         inputs.append(qdr)
         in_specs.append(smem)
     if has_mesh:
-        mesh_s, nodes_f, tris_d = mesh
+        mesh_s, nodes_f, tris_d = mesh[:3]
         inputs.extend([mesh_s, nodes_f, tris_d])
         in_specs.extend([
             smem,
             pl.BlockSpec(nodes_f.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tris_d.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ])
+        if has_woop:
+            inputs.append(mesh[3])
+            in_specs.append(
+                pl.BlockSpec(mesh[3].shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+            )
     inputs.append(bn_planes)
     # 4 blue-noise planes, + 4 env-NEE sample planes per bounce when
     # cfg.nee == "env" (see _make_kernel)
@@ -2291,12 +2458,16 @@ def _pallas_forward_staged(packs, cam, scalars, bn_planes, state, pix, cfg,
     layout = _state_layout(cfg, mesh_textured, n_sg)
     S = len(layout)
     rows, wcols = (pix.shape[1:] if state is None else state.shape[1:])
+    # woop leaf-test rows: VMEM-resident normally; with mesh_stream both
+    # the woop and dense tables stay in HBM (8-woop-row leaf windows +
+    # blocking interp-row fetches)
+    has_woop = has_mesh and len(mesh) > 3 and mesh[3] is not None
     kernel = _make_kernel(
         cfg, n_quads, n_spheres, n_quadrics, tile_rows, tile_cols, img_width,
         img_height, param_grads, has_mesh=has_mesh, n_nodes_p=n_nodes_p,
         fast_quads=fast_quads, mesh_textured=mesh_textured, sub_rows=sub_rows,
         bounce_lo=bounce_lo, bounce_hi=bounce_hi, staged=True,
-        mesh_stream=mesh_stream, mesh_oct=mesh_oct,
+        mesh_stream=mesh_stream, mesh_oct=mesh_oct, mesh_woop=has_woop,
     )
     # a non-divisible lane pool would silently leave trailing rows untraced
     # AND feed their uninitialized (px, py, fslot) identity planes into the
@@ -2322,7 +2493,7 @@ def _pallas_forward_staged(packs, cam, scalars, bn_planes, state, pix, cfg,
         inputs.append(qdr)
         in_specs.append(smem)
     if has_mesh:
-        mesh_s, nodes_f, tris_d = mesh
+        mesh_s, nodes_f, tris_d = mesh[:3]
         inputs.extend([mesh_s, nodes_f, tris_d])
         in_specs.extend([
             smem,
@@ -2330,6 +2501,12 @@ def _pallas_forward_staged(packs, cam, scalars, bn_planes, state, pix, cfg,
             pl.BlockSpec(memory_space=pl.ANY) if mesh_stream else
             pl.BlockSpec(tris_d.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ])
+        if has_woop:
+            inputs.append(mesh[3])
+            in_specs.append(
+                pl.BlockSpec(memory_space=pl.ANY) if mesh_stream else
+                pl.BlockSpec(mesh[3].shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+            )
     inputs.append(bn_planes)
     in_specs.append(
         pl.BlockSpec((bn_planes.shape[0], tile_rows, tile_cols),
@@ -2349,10 +2526,18 @@ def _pallas_forward_staged(packs, cam, scalars, bn_planes, state, pix, cfg,
         )
     scratch_shapes = []
     if mesh_stream:
-        scratch_shapes = [
-            pltpu.VMEM((2, 16, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
+        if has_woop:
+            scratch_shapes = [
+                pltpu.VMEM((2, 8, 128), jnp.float32),   # woop leaf windows
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, 128), jnp.float32),      # interp row pair
+                pltpu.SemaphoreType.DMA,
+            ]
+        else:
+            scratch_shapes = [
+                pltpu.VMEM((2, 16, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
     (out,) = pl.pallas_call(
         kernel,
         grid=grid,
@@ -2896,7 +3081,8 @@ def trace_frames_pallas(
     if mesh_stream is None:
         mesh_stream = False
         if scene.mesh is not None:
-            mesh_bytes = (packs[3][1].size + packs[3][2].size) * 4
+            mesh_bytes = (packs[3][1].size + packs[3][2].size
+                          + (packs[3][3].size if packs[3][3] is not None else 0)) * 4
             mesh_stream = mesh_bytes > 12 * 1024 * 1024
     if differentiable:
         # staged path-replay VJP: material-color gradients through the
@@ -3003,7 +3189,8 @@ def trace_image_pallas(
                   else tuple(range(1, cfg.bounces)))
         mesh_stream = False
         if scene.mesh is not None:
-            mesh_bytes = (packs[3][1].size + packs[3][2].size) * 4
+            mesh_bytes = (packs[3][1].size + packs[3][2].size
+                          + (packs[3][3].size if packs[3][3] is not None else 0)) * 4
             mesh_stream = mesh_bytes > 12 * 1024 * 1024
         if differentiable:
             f = _prb_staged_fn(cfg, height, width, tile_rows, tile_cols,

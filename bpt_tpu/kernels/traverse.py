@@ -321,9 +321,11 @@ def _make_hbm_kernel(n_nodes_padded: int):
             st = (t_best, tri_b, nx, ny, nz, us, vs)
             c2 = (pr0, pnr, slot, st)
             for k in range(4):
+                # meta is WOOP-row units (accel.cluster.Bvh4OctBVH); this
+                # walker tests the dense MT rows (2 per woop row)
                 enc = (-meta[k]).astype(jnp.int32)
-                row0 = enc // 32
-                nrows = enc - row0 * 32
+                row0 = 2 * (enc // 32)
+                nrows = 2 * (enc - (enc // 32) * 32)
 
                 def leaf_fn(c3, row0=row0, nrows=nrows):
                     pr0, pnr, slot, st = c3

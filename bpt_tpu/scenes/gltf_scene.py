@@ -368,6 +368,7 @@ def mesh_from_model(
         fz_nodes_f=jnp.asarray(fz.nodes_f),
         fz_tris=jnp.asarray(fz.tris),
         fz_nodes_oct=jnp.asarray(fz.nodes_oct),
+        fz_woop=jnp.asarray(fz.woop),
         p0=jnp.asarray(model.p0),
         p1=jnp.asarray(model.p1),
         p2=jnp.asarray(model.p2),

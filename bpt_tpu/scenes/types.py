@@ -138,6 +138,11 @@ class TriangleMesh(NamedTuple):
     # — the occlusion-pruning analog of the reference's nearest-child-first
     # stack traversal (GLTFModelPathTracing_FragmentShader.js:254-284).
     fz_nodes_oct: Optional[jnp.ndarray] = None  # (8*Np, 16) f32
+    # Woop leaf-test rows for the BVH4 walk (accel.cluster.Bvh4OctBVH.woop):
+    # 8 affine unit-triangle transforms per 128-float row; the dense fz_tris
+    # rows 2w, 2w+1 hold woop row w's interpolation data ('interp on
+    # improve').  None -> the walker falls back to in-row Moller-Trumbore.
+    fz_woop: Optional[jnp.ndarray] = None  # (Rp/2, 128) f32
     # Quad-packed (H, W, 12) twins of the PBR maps (textures.quad_pack):
     # one gather per bilinear sample instead of four — the sampling paths
     # prefer these when present (results are bit-equal).

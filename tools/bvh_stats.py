@@ -87,8 +87,10 @@ def walk_bvh4(nodes_f, tris, ro, rd, active, base, n_nodes):
             for k in range(4):
                 m = r[24 + k]
                 if ms[k] and m < 0:
+                    # meta in WOOP-row units (8 tris/row); count DENSE rows
+                    # (2x) so numbers stay comparable across formats
                     enc = int(-m)
-                    row0, nr = enc // 32, enc % 32
+                    row0, nr = 2 * (enc // 32), 2 * (enc % 32)
                     leaf_rows += nr
                     t_best = _mt_rows(tris[row0:row0 + nr].reshape(-1, 32), ro, rd, t_best)
             nxt = esc
