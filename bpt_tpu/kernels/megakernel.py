@@ -58,6 +58,10 @@ from bpt_tpu.scenes.types import (
 
 INFINITY = 1.0e6
 TWO_PI = 6.28318530717958648
+# Woop leaf-row formulation switch (see _mesh_walk.woop_rows): the
+# row-winner variant keeps fewer live planes and halves the improve-path
+# ops; flip for A/B on real silicon (results are identical up to FP ties).
+WOOP_ROW_WINNER = False
 
 
 # ---------------------------------------------------------------------------
@@ -658,6 +662,79 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
         lane (measured ~10-20% of visited rows), keeping the per-row floor
         at ~half of in-row MT."""
 
+        def row_body_winner(k, c4):
+            # ROW-WINNER formulation (gated by WOOP_ROW_WINNER): keep only
+            # (t, u, v, argmin-j) live across the 8 tests and select the
+            # winner's record scalars once in the improve path — fewer live
+            # planes and ~half the interp ops vs the per-tri merge below.
+            t_best = c4[0]
+            wrow = row_get_w(k)
+            t_row = jnp.full(shape, INFINITY, jnp.float32)
+            u_row = zeros
+            v_row = zeros
+            j_row = zeros
+            for j in range(8):
+                o = 16 * j
+                opx = wrow[0, o + 0] * rox + wrow[0, o + 1] * roy + wrow[0, o + 2] * roz + wrow[0, o + 9]
+                opy = wrow[0, o + 3] * rox + wrow[0, o + 4] * roy + wrow[0, o + 5] * roz + wrow[0, o + 10]
+                opz = wrow[0, o + 6] * rox + wrow[0, o + 7] * roy + wrow[0, o + 8] * roz + wrow[0, o + 11]
+                dpx = wrow[0, o + 0] * rdx + wrow[0, o + 1] * rdy + wrow[0, o + 2] * rdz
+                dpy = wrow[0, o + 3] * rdx + wrow[0, o + 4] * rdy + wrow[0, o + 5] * rdz
+                dpz = wrow[0, o + 6] * rdx + wrow[0, o + 7] * rdy + wrow[0, o + 8] * rdz
+                t = -opz * _safe_inv_slab(dpz)
+                u = opx + t * dpx
+                v = opy + t * dpy
+                miss = (u < 0.0) | (v < 0.0) | (u + v > 1.0) | (t <= 0.0)
+                miss = miss | (cull & (dpz > 0.0))
+                ok = jnp.logical_not(miss) & (t < t_row)
+                t_row = jnp.where(ok, t, t_row)
+                u_row = jnp.where(ok, u, u_row)
+                v_row = jnp.where(ok, v, v_row)
+                j_row = jnp.where(ok, jnp.float32(j), j_row)
+            closer = t_row < t_best
+            t_best = jnp.where(closer, t_row, t_best)
+
+            def interp_fn(c5, k=k, closer=closer, j_row=j_row,
+                          u_row=u_row, v_row=v_row):
+                nx, ny, nz, us, vs, *attrs = c5
+                attrs = list(attrs)
+                d0, d1 = dense_get(k)
+                # record floats 9..23: n0 n1 n2 (3 each), uv0 uv1 uv2 (2
+                # each); 24..26 baked PBR attrs
+                n_sel = 18 if textured else 15
+                sel = [zeros] * n_sel
+                for j in range(8):
+                    row = d0 if j < 4 else d1
+                    o2 = 32 * (j % 4)
+                    cl = closer & (j_row == jnp.float32(j))
+                    for idx in range(15):
+                        sel[idx] = jnp.where(cl, row[0, o2 + 9 + idx], sel[idx])
+                    if textured:
+                        for a in range(3):
+                            sel[15 + a] = jnp.where(cl, row[0, o2 + 24 + a],
+                                                    sel[15 + a])
+                w = 1.0 - u_row - v_row
+                inx = w * sel[0] + u_row * sel[3] + v_row * sel[6]
+                iny = w * sel[1] + u_row * sel[4] + v_row * sel[7]
+                inz = w * sel[2] + u_row * sel[5] + v_row * sel[8]
+                iu = w * sel[9] + u_row * sel[11] + v_row * sel[13]
+                iv = w * sel[10] + u_row * sel[12] + v_row * sel[14]
+                nx = jnp.where(closer, inx, nx)
+                ny = jnp.where(closer, iny, ny)
+                nz = jnp.where(closer, inz, nz)
+                us = jnp.where(closer, iu, us)
+                vs = jnp.where(closer, iv, vs)
+                if textured:
+                    attrs = [
+                        jnp.where(closer, sel[15 + a], attrs[a])
+                        for a in range(3)
+                    ]
+                return (nx, ny, nz, us, vs, *attrs)
+
+            rest = jax.lax.cond(jnp.any(closer), interp_fn,
+                                lambda c5: c5, tuple(c4[1:]))
+            return (t_best, *rest)
+
         def row_body(k, c4):
             t_best = c4[0]
             wrow = row_get_w(k)  # (1, 128): 8 tris
@@ -715,7 +792,8 @@ def _mesh_walk(ro_o, rd_o, cull, nodes_f_ref, tris_ref, n_nodes_p, t_init, activ
                                 lambda c5: c5, tuple(c4[1:]))
             return (t_best, *rest)
 
-        return jax.lax.fori_loop(0, nrows_w, row_body, c3)
+        body = row_body_winner if WOOP_ROW_WINNER else row_body
+        return jax.lax.fori_loop(0, nrows_w, body, c3)
 
     if bvh4 and stream is None:
         use_woop = woop_ref is not None

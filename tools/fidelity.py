@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--split-normals", type=int, default=0)
     ap.add_argument("--deg", type=float, default=10.0)
     ap.add_argument("--split-mixed", type=int, default=0)
+    ap.add_argument("--no-woop", action="store_true",
+                    help="fused walk uses the in-row MT tester (isolates "
+                         "Woop-vs-MT FP-tie scatter from bake error)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -58,6 +61,8 @@ def main():
     mesh = mesh_from_model(model, mat_type=3, split_mixed=args.split_mixed,
                            split_normals=args.split_normals,
                            split_normals_deg=args.deg)
+    if args.no_woop:
+        mesh = mesh._replace(fz_woop=None)
     T = int(mesh.p0.shape[0])
     scene = gltf_scene(mesh)
     cfg = IntegratorConfig(bounces=args.bounces,
@@ -67,8 +72,13 @@ def main():
     bn = jnp.asarray(blue_noise_table())
     rv = jnp.asarray([0.3, 0.7], jnp.float32)
 
+    # oracle: the pure-XLA wavefront walk (drop the packet packs — the
+    # packet kernel's VMEM tables don't scale to split meshes, and the
+    # XLA walk is the most conservative reference)
+    scene_ref = scene._replace(mesh=mesh._replace(
+        pk_nodes_f=None, pk_nodes_i=None, pk_tris=None, pk_order=None))
     ref = jax.jit(lambda s: trace_image(
-        s, cam, cfg, w, h, 2.0, rv, bn).color)(scene)
+        s, cam, cfg, w, h, 2.0, rv, bn).color)(scene_ref)
     fused = jax.jit(lambda s: trace_image_pallas(
         s, cam, cfg, w, h, 2.0, rv, bn, interpret=args.cpu).color)(scene)
     d = np.abs(np.asarray(fused) - np.asarray(ref)).max(axis=-1)
