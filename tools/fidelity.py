@@ -83,10 +83,17 @@ def main():
         s, cam, cfg, w, h, 2.0, rv, bn, interpret=args.cpu).color)(scene)
     d = np.abs(np.asarray(fused) - np.asarray(ref)).max(axis=-1)
     pct = 100.0 * (d > 1e-3).mean()
+    # decompose: small smooth deltas (approximation/bake error) vs large
+    # deltas (an FP tie flipped the whole path — a different MC sample,
+    # not a bias; both estimators are unbiased)
+    smooth = 100.0 * ((d > 1e-3) & (d <= 0.05)).mean()
+    flips = 100.0 * (d > 0.05).mean()
     print(f"{args.model} {h}x{w} b={args.bounces} tris={T} "
           f"(split_normals={args.split_normals}@{args.deg}deg, "
           f"split_mixed={args.split_mixed}): "
-          f"{pct:.2f}% pixels >1e-3, mean |d| {d.mean():.5f}, max {d.max():.4f}")
+          f"{pct:.2f}% pixels >1e-3 "
+          f"[{smooth:.2f}% bake-scale <=0.05, {flips:.2f}% path flips], "
+          f"mean |d| {d.mean():.5f}, max {d.max():.4f}")
 
 
 if __name__ == "__main__":
