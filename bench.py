@@ -215,9 +215,10 @@ def bench_capacity(args):
     model = GLTFModel(p0=p0, p1=p1, p2=p2, n0=n, n1=n, n2=n, uv0=z2, uv1=z2,
                       uv2=z2, albedo=None, normal_map=None,
                       metallic_roughness=None, emissive=None)
-    # leaf 64 keeps the VMEM node table ~1 MB at this scale; triangle rows
-    # (67 MB) stay in HBM and stream per leaf
-    mesh = mesh_from_model(model, mat_type=1, leaf_size=64)
+    # leaf 32 = 4 woop rows per stream window: finer per-child gating wastes
+    # fewer streamed rows than leaf 64 (measured 2.02 vs 1.88 Mrays/s,
+    # round 5); triangle tables (100 MB woop+dense) stay in HBM
+    mesh = mesh_from_model(model, mat_type=1, leaf_size=32)
     scene = gltf_scene(mesh)
     cfg = IntegratorConfig(bounces=args.bounces)
     cam = gltf_camera()
